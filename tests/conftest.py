@@ -1,0 +1,12 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform so the
+suite runs anywhere (and so sharding tests get a real multi-device mesh)
+before any jax import happens."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,140 @@
+"""Simulation configuration.
+
+One frozen dataclass replaces the reference's compile-time constant header
+(`simulation_constants.h:7-139`) *and* its hand-packed 264-byte STD140 uniform
+buffer (`simulation_constants.h:153-174`, layout contract
+`shaders_fluid/fluids_uniform_buffer_layout.txt`).  Everything — array shapes,
+scene, physics constants, solver iteration counts — derives from this single
+object, so there is no double-maintenance hazard between "host constants" and
+"shader constants" (the hazard warned about at `simulation_constants.h:25-28`).
+
+The config is hashable so it can be a `static_argnum` of `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class FluidConfig:
+    # --- grid -------------------------------------------------------------
+    # dimensions of the MAC simulation grid (reference: fluid_width/height/
+    # depth = 20, simulation_constants.h:7)
+    grid_size: Tuple[int, int, int] = (20, 20, 20)
+
+    # --- particles ----------------------------------------------------------
+    # max number of marker particles (simulation_constants.h:29)
+    particle_count: int = 1_000_000
+    # initial particle cube (simulation_constants.h:48-50)
+    particle_init_cube_resolution: Tuple[int, int, int] = (100, 100, 100)
+    particle_init_cube_offset: Tuple[float, float, float] = (5.0, 2.0, 1.5)
+    particle_init_cube_size: Tuple[float, float, float] = (10.0, 10.0, 2.0)
+
+    # --- physics ------------------------------------------------------------
+    # simulation_constants.h:56-89
+    dt: float = 0.01
+    air_pressure: float = 1.0
+    cell_width: float = 1.0
+    fluid_density: float = 1.0
+    gravity: float = 10.0           # +y is down in the reference scene
+    diffusion_coefficient: float = 0.01
+    jacobi_iters: int = 200
+    fountain_position: Tuple[int, int, int] | None = None  # default: derived
+    fountain_force: float = -3000.0
+    solid_repel_velocity: float = 0.01
+
+    # --- surface (detailed grid) ---------------------------------------------
+    # simulation_constants.h:36,112-127
+    surface_render_resolution: int = 5
+    max_inertia: int = 100
+    inertia_increase_filled: int = 4
+    inertia_required_neighbour_hits: int = 1
+    inertia_increase_neighbour: int = 1
+    inertia_decrease: int = 1
+    float_density_division_coefficient: float = 30.0
+    float_density_diffuse_coefficient: float = 0.1
+    float_density_diffuse_steps: int = 4
+
+    # --- faithfulness switches ------------------------------------------------
+    # The reference's diffusion stage (09_diffuse/diffuse.comp:40) assigns the
+    # diffused value to a scope-shadowed local, so the stage is effectively a
+    # copy.  True reproduces that observed behavior; False enables the
+    # (clearly intended) real diffusion.
+    reference_diffuse_noop: bool = True
+    # The reference's divergence fix reads PRESSURES_2, which after 200
+    # alternating Jacobi iterations holds the 199th iterate
+    # (fluid_flow_sections.h:321).  True reproduces that; False uses the last.
+    reference_pressure_parity: bool = True
+
+    # --- rendering ------------------------------------------------------------
+    particle_render_color: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    particle_render_size: float = 10.0
+    particle_render_max_size: float = 20.0
+    render_light_direction: Tuple[float, float, float] = (1.0, -3.0, 1.0)
+    render_surface_ambient_color: Tuple[float, float, float] = (0.0, 0.0, 0.3)
+    render_surface_diffuse_color: Tuple[float, float, float] = (0.0, 0.8, 0.7)
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # --- numerics ------------------------------------------------------------
+    dtype: str = "float32"
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def fountain(self) -> Tuple[int, int, int]:
+        """Fountain base cell (simulation_constants.h:85)."""
+        if self.fountain_position is not None:
+            return self.fountain_position
+        w, h, d = self.grid_size
+        return (w // 2, h - 2, d // 2)
+
+    @property
+    def detailed_size(self) -> Tuple[int, int, int]:
+        """Detailed (surface) grid size (simulation_constants.h:37)."""
+        r = self.surface_render_resolution
+        return tuple(s * r for s in self.grid_size)
+
+    @property
+    def surface_cells(self) -> Tuple[int, int, int]:
+        """Marching-cubes cell grid: detailed size - 1 per dim
+        (simulation_constants.h:139)."""
+        return tuple(s - 1 for s in self.detailed_size)
+
+    def replace(self, **kw) -> "FluidConfig":
+        return dataclasses.replace(self, **kw)
+
+    # -------------------------------------------------------------- factories
+    @staticmethod
+    def reference_scene() -> "FluidConfig":
+        """The exact scene of the reference (20^3 box, 1M-particle slab,
+        center-floor fountain)."""
+        return FluidConfig()
+
+    @staticmethod
+    def scaled_scene(n: int,
+                     particle_count: int = 1_000_000,
+                     surface_render_resolution: int = 2,
+                     jacobi_iters: int = 200) -> "FluidConfig":
+        """Reference scene geometry scaled to an n^3 grid.
+
+        Offsets/sizes scale with n/20 so the fluid occupies the same relative
+        volume as the reference scene.
+        """
+        s = n / 20.0
+        res = max(1, round(particle_count ** (1.0 / 3.0)))
+        return FluidConfig(
+            grid_size=(n, n, n),
+            particle_count=particle_count,
+            particle_init_cube_resolution=(res, res, res),
+            particle_init_cube_offset=(5.0 * s, 2.0 * s, 1.5 * s),
+            particle_init_cube_size=(10.0 * s, 10.0 * s, 2.0 * s),
+            surface_render_resolution=surface_render_resolution,
+            jacobi_iters=jacobi_iters,
+        )

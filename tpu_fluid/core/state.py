@@ -1,0 +1,104 @@
+"""Simulation state pytree.
+
+Replaces the reference's 12 GPU images + 4 buffers (`fluid_flow_sections.h:
+36-92`, README table) with a functional pytree of `jnp` arrays.  Only the
+arrays that persist *across* frames live here; everything the reference
+ping-pongs inside a frame (VELOCITIES_2, NEW_CELL_TYPES, PRESSURES_1/2,
+DIVERGENCES, the density histograms) is a pure intermediate of the step
+function and never materializes in the state.
+
+Persistent arrays (matching the reference's cross-frame state):
+  velocity    (3, X, Y, Z) f32  — staggered MAC velocities; component i of
+                                   cell c lives at the center of c's lower
+                                   face in dim i (VELOCITIES_1,
+                                   fluid_flow_sections.h:36)
+  cell_types  (X, Y, Z)  uint8  — CellType codes (CELL_TYPES, :40)
+  inertia     (DX,DY,DZ) int32  — detailed-density temporal inertia,
+                                   persistent (DETAILED_DENSITIES_INERTIA_IMG,
+                                   :53)
+  float_dens_1/2 (DX,DY,DZ) f32 — signed density ping-pong pair; both persist
+                                   because the reference's blur skips writes
+                                   under solid parents, so stale values carry
+                                   across frames (PARTICLE_DENSITIES_FLOAT_1/2,
+                                   :55-56)
+  positions   (P, 3) f32        — marker particle positions (PARTICLES_BUF, :72)
+  active      (P,)   bool       — particle activity flag (reference packs this
+                                   into the position's w component,
+                                   simulation_constants.h:53)
+  step        ()     int32      — frame counter (new; reference has none)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.types import CellType
+
+
+class FluidState(NamedTuple):
+    velocity: jax.Array      # (3, X, Y, Z) float32
+    cell_types: jax.Array    # (X, Y, Z)    uint8
+    inertia: jax.Array       # detailed grid, int32
+    float_dens_1: jax.Array  # detailed grid, float32
+    float_dens_2: jax.Array  # detailed grid, float32
+    positions: jax.Array     # (P, 3) float32
+    active: jax.Array        # (P,)   bool
+    step: jax.Array          # ()     int32
+
+
+def init_particles(cfg: FluidConfig) -> tuple[jax.Array, jax.Array]:
+    """Stage 00: spawn the initial particle cube.
+
+    Faithful to `00_init_particles/init_particles.comp:27-49`: particle id i
+    maps to cube index (x = i % rx, y = (i/rx) % ry, z = i/(rx*ry)); position
+    = offset + idx/res * size; ids >= cube volume are inactive.
+    """
+    p = cfg.particle_count
+    rx, ry, rz = cfg.particle_init_cube_resolution
+    vol = rx * ry * rz
+    ids = jnp.arange(p, dtype=jnp.uint32)
+    x = ids % rx
+    y = (ids // rx) % ry
+    z = (ids // (rx * ry)) % rz
+    idx = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+    res = jnp.array([rx, ry, rz], dtype=jnp.float32)
+    off = jnp.array(cfg.particle_init_cube_offset, dtype=jnp.float32)
+    size = jnp.array(cfg.particle_init_cube_size, dtype=jnp.float32)
+    pos = off + idx / res * size
+    active = ids < vol
+    pos = jnp.where(active[:, None], pos, 0.0)
+    return pos.astype(cfg.jnp_dtype), active
+
+
+def initial_state(cfg: FluidConfig) -> FluidState:
+    """Allocate + initialize all state.
+
+    Mirrors the reference's init command buffer (`main.cpp:108-122`): clear
+    velocities, cell types (INACTIVE) and inertia, then run the particle-spawn
+    kernel.  float_dens buffers start at zero (fresh device allocations).
+    """
+    gx, gy, gz = cfg.grid_size
+    dx, dy, dz = cfg.detailed_size
+    dt = cfg.jnp_dtype
+    pos, active = init_particles(cfg)
+    return FluidState(
+        velocity=jnp.zeros((3, gx, gy, gz), dtype=dt),
+        cell_types=jnp.full((gx, gy, gz), CellType.INACTIVE, dtype=jnp.uint8),
+        inertia=jnp.zeros((dx, dy, dz), dtype=jnp.int32),
+        float_dens_1=jnp.zeros((dx, dy, dz), dtype=dt),
+        float_dens_2=jnp.zeros((dx, dy, dz), dtype=dt),
+        positions=pos,
+        active=active,
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def state_bytes(state: FluidState) -> int:
+    """Total device bytes held by the persistent state."""
+    return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+               for a in jax.tree.leaves(state))

@@ -1,0 +1,97 @@
+"""Full simulation step: the reference's 19-stage per-frame compute graph
+(`fluid_flow_sections.h:159-391`, SURVEY.md §3.2) as one pure function over
+the state pytree, jit-compiled into a single XLA program.
+
+The reference's flow-section engine derives barriers from declared resource
+states; here XLA's data dependencies play that role, its fusion pass replaces
+the hand-scheduled dispatch list, and donated ping-pong buffers replace the
+VELOCITIES_1/2, PRESSURES_1/2 pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.state import FluidState
+from tpu_fluid.stages import celltypes, particles, pressure, surface_fields
+from tpu_fluid.stages import velocity as vstages
+
+
+def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
+    """One frame, stage order exactly as the reference's step section list
+    (`fluid_flow_sections.h:159-391`; SURVEY.md §3.2):
+
+      01 histogram -> 02 water -> 03 air/solid -> 04/05 extrapolate ->
+      06 commit types -> 07 advect -> 08 forces -> 09 diffuse -> 10 solids ->
+      11 divergence -> 12 Jacobi xN -> 13 project -> 14 move particles ->
+      15 detail histogram -> 16 inertia -> 17 signed field -> 18 blur xM
+    """
+    old_types = state.cell_types
+    vel = state.velocity
+
+    # 01-03: classify cells from the particle histogram
+    dens = particles.particle_densities(state.positions, state.active, cfg)
+    new_types = celltypes.update_water(dens)
+    new_types = celltypes.update_air(new_types)
+
+    # 04-05: velocity extrapolation into newly-active faces
+    extrapolated = vstages.compute_extrapolated_velocities(old_types, vel)
+    vel = vstages.set_extrapolated_velocities(old_types, new_types, vel,
+                                              extrapolated)
+
+    # 06: the new classification becomes current
+    types = celltypes.commit_cell_types(new_types)
+
+    # 07-10: advect, force, diffuse, solid-clamp
+    vel = vstages.advect(types, vel, cfg)
+    vel = vstages.apply_forces(types, vel, cfg)
+    vel = vstages.diffuse(types, vel, cfg)
+    vel = vstages.apply_solids(types, vel, cfg)
+
+    # 11-13: pressure projection
+    div = pressure.compute_divergence(vel)
+    p = pressure.jacobi_solve(types, div, cfg)
+    vel = pressure.pressure_project(types, p, vel, cfg)
+
+    # 14: move particles through the projected field
+    pos = particles.move_particles(vel, state.positions, state.active, cfg)
+
+    # 15-18: surface field update
+    ddens = particles.detailed_densities(pos, state.active, cfg)
+    inertia = surface_fields.update_inertia(ddens, state.inertia, cfg)
+    f1 = surface_fields.float_densities(inertia, cfg)
+    f1, f2 = surface_fields.blur_float_densities(types, f1,
+                                                 state.float_dens_2, cfg)
+
+    return FluidState(
+        velocity=vel,
+        cell_types=types,
+        inertia=inertia,
+        float_dens_1=f1,
+        float_dens_2=f2,
+        positions=pos,
+        active=state.active,
+        step=state.step + 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+def jit_step(state: FluidState, cfg: FluidConfig) -> FluidState:
+    """Jitted single step with full state donation (keeps memory flat, the
+    TPU analogue of the reference's in-place image updates)."""
+    return simulation_step(state, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+def jit_multi_step(state: FluidState, cfg: FluidConfig,
+                   n_steps: int) -> FluidState:
+    """n frames in one XLA program (lax.scan over the step); host touches the
+    device once per n frames, mirroring how the reference's host only submits
+    command buffers (`main.cpp:176`)."""
+    def body(s, _):
+        return simulation_step(s, cfg), None
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out

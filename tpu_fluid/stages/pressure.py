@@ -1,0 +1,112 @@
+"""Pressure solve stages: divergence (11), Jacobi iteration (12), projection
+(13).
+
+Reference: `11_compute_divergence/compute_divergence.comp`,
+`12_solve_pressure/pressure.comp`, `13_fix_divergence/fix_divergence.comp`.
+
+The reference runs 200 separate Jacobi dispatches with full pipeline barriers
+between them (`fluid_flow_sections.h:300-313`); here the whole solve is one
+`lax.fori_loop` inside the jitted step — a single XLA while loop with no
+launch overhead.  Functionally a Jacobi sweep is `p_new = f(p_old)`, so no
+explicit ping-pong buffers are needed; XLA double-buffers the loop carry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.types import CellType
+from tpu_fluid.ops.stencil import MOVES, shifted
+
+
+def compute_divergence(vel: jnp.ndarray) -> jnp.ndarray:
+    """Stage 11: div(i) = sum_c v_c(i + e_c) - v_c(i) — outflow minus inflow
+    on staggered faces (`compute_divergence.comp:18-29`).  Out-of-grid reads
+    are zero (GLSL robust access)."""
+    div = jnp.zeros(vel.shape[1:], dtype=vel.dtype)
+    for c in range(3):
+        up = tuple(1 if k == c else 0 for k in range(3))
+        div = div + shifted(vel[c], up) - vel[c]
+    return div
+
+
+def jacobi_stats(types: jnp.ndarray, cfg: FluidConfig):
+    """Per-frame constants of the Jacobi sweep: water mask, diagonal count
+    aii (non-solid neighbors), and the constant air-pressure contribution.
+
+    In `pressure.comp:41-62`, each non-solid neighbor increments aii; a WATER
+    neighbor contributes its previous pressure, any other non-solid neighbor
+    (AIR or INACTIVE) contributes the constant pressure_air.
+    """
+    water = types == CellType.WATER
+    solid = types == CellType.SOLID
+    aii = jnp.zeros(types.shape, dtype=jnp.float32)
+    n_air = jnp.zeros(types.shape, dtype=jnp.float32)
+    for mv in MOVES:
+        # Out-of-grid neighbors read as INACTIVE (non-solid) in GLSL; water
+        # cells never touch the border (it is SOLID), so this is unobservable
+        # for cells the sweep actually updates.
+        nb_solid = shifted(solid, mv, fill=False)
+        nb_water = shifted(water, mv, fill=False)
+        aii = aii + (~nb_solid)
+        n_air = n_air + (~nb_solid & ~nb_water)
+    return water, aii, n_air
+
+
+def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
+                 cfg: FluidConfig) -> jnp.ndarray:
+    """Stage 12: Jacobi pressure iteration, WATER cells only
+    (`pressure.comp:52-77`).
+
+    p_new = (sum_{water nbrs} p_j + n_air * p_air - b) / aii, with
+    b = div * rho * dx / dt.  Non-water cells keep their initial value
+    p_air (both ping-pong buffers are cleared to air pressure each frame,
+    `fluid_flow_sections.h:298-299`).
+
+    The reference's projection stage reads PRESSURES_2, which after 200
+    alternating iterations holds the 199th iterate (SURVEY.md §2.4#13); with
+    `cfg.reference_pressure_parity` we therefore run jacobi_iters - 1 sweeps.
+    """
+    water, aii, n_air = jacobi_stats(types, cfg)
+    b = div.astype(jnp.float32) * (cfg.fluid_density * cfg.cell_width / cfg.dt)
+    const = n_air * cfg.air_pressure - b
+    denom = jnp.maximum(aii, 1.0)
+    update_mask = water & (aii > 0)
+
+    def sweep(_, p):
+        pw = jnp.where(water, p, 0.0)
+        neigh = jnp.zeros_like(p)
+        for mv in MOVES:
+            neigh = neigh + shifted(pw, mv)
+        p_new = (neigh + const) / denom
+        return jnp.where(update_mask, p_new, p)
+
+    iters = cfg.jacobi_iters - (1 if cfg.reference_pressure_parity else 0)
+    p0 = jnp.full(types.shape, cfg.air_pressure, dtype=jnp.float32)
+    return jax.lax.fori_loop(0, iters, sweep, p0)
+
+
+def pressure_project(types: jnp.ndarray, pressure: jnp.ndarray,
+                     vel: jnp.ndarray, cfg: FluidConfig) -> jnp.ndarray:
+    """Stage 13: subtract the pressure gradient
+    (`fix_divergence.comp:41-72`).  Component c of cell i changes by
+    -dt/(rho*dx) * (p(i) - p(i - e_c)) iff i_c != 0, at least one of the two
+    adjacent cells is WATER, and neither is SOLID."""
+    water = types == CellType.WATER
+    solid = types == CellType.SOLID
+    scale = cfg.dt / (cfg.fluid_density * cfg.cell_width)
+    out = []
+    for c in range(3):
+        mv = tuple(-1 if k == c else 0 for k in range(3))
+        lo_water = shifted(water, mv, fill=False)
+        lo_solid = shifted(solid, mv, fill=False)
+        idx = jnp.arange(types.shape[c])
+        nonzero = (idx != 0).reshape(
+            tuple(-1 if k == c else 1 for k in range(3)))
+        cond = nonzero & (water | lo_water) & ~solid & ~lo_solid
+        grad = pressure - shifted(pressure, mv)
+        dv = jnp.where(cond, grad, 0.0).astype(vel.dtype)
+        out.append(vel[c] - scale * dv)
+    return jnp.stack(out)
