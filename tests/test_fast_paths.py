@@ -1,0 +1,98 @@
+"""Equivalence tests: the TPU-fast code paths (packed-row particle sampler,
+gather-free shift-select advection) must match the reference-shaped gather
+paths, which the golden tests pin to the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.ops.packed_sampler import (build_packed_table,
+                                          sample_velocity_packed)
+from tpu_fluid.ops.sampling import velocity_at
+from tpu_fluid.stages import velocity as vstages
+import oracle
+
+N = 10
+CFG = FluidConfig(grid_size=(N, N, N), jacobi_iters=10)
+
+
+def random_types(r):
+    dens = (r.random((N, N, N)) < 0.3).astype(np.int64)
+    return oracle.update_air(oracle.update_water(dens))
+
+
+def test_packed_sampler_matches_gather_inside():
+    r = np.random.default_rng(0)
+    vel = jnp.asarray(r.standard_normal((3, N, N, N)).astype(np.float32))
+    pos = jnp.asarray((r.random((5000, 3)) * N).astype(np.float32))
+    table = build_packed_table(vel)
+    fast = sample_velocity_packed(table, (N, N, N), pos)
+    ref = velocity_at(vel, pos)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packed_sampler_matches_gather_outside():
+    """Out-of-box positions must reproduce clamp-to-edge sampling."""
+    r = np.random.default_rng(1)
+    vel = jnp.asarray(r.standard_normal((3, N, N, N)).astype(np.float32))
+    pos = jnp.asarray((r.random((2000, 3)) * (N + 6) - 3).astype(np.float32))
+    table = build_packed_table(vel)
+    fast = sample_velocity_packed(table, (N, N, N), pos)
+    ref = velocity_at(vel, pos)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packed_sampler_noncubic():
+    r = np.random.default_rng(2)
+    shape = (6, 9, 12)
+    vel = jnp.asarray(r.standard_normal((3,) + shape).astype(np.float32))
+    pos = jnp.asarray((r.random((3000, 3)) * np.array(shape)).astype(
+        np.float32))
+    table = build_packed_table(vel)
+    fast = sample_velocity_packed(table, shape, pos)
+    ref = velocity_at(vel, pos)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_face_center_velocity_matches_sampling():
+    r = np.random.default_rng(3)
+    vel = jnp.asarray(r.standard_normal((3, N, N, N)).astype(np.float32))
+    base = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"),
+                    axis=-1).astype(np.float32)
+    for c in range(3):
+        fmove = np.array([0.5 if k != c else 0.0 for k in range(3)],
+                         dtype=np.float32)
+        pos = jnp.asarray((base + fmove).reshape(-1, 3))
+        ref = np.asarray(velocity_at(vel, pos)).reshape(N, N, N, 3)
+        fast = np.asarray(vstages.face_center_velocity(vel, c))
+        for cp in range(3):
+            np.testing.assert_allclose(fast[cp], ref[..., cp],
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"face {c} comp {cp}")
+
+
+def test_shift_advect_matches_gather_advect():
+    r = np.random.default_rng(4)
+    types = jnp.asarray(random_types(r))
+    vel = jnp.asarray((r.standard_normal((3, N, N, N)) * 3).astype(
+        np.float32))
+    fast = vstages.advect(types, vel, CFG)
+    ref = vstages.advect_gather(types, vel, CFG)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_shift_advect_large_velocity_clamped():
+    """|v|*dt beyond R cells: the fast path clamps the displacement; verify
+    it still produces finite, in-range values and matches the gather path
+    when the gather path's displacement is also within R."""
+    r = np.random.default_rng(5)
+    types = jnp.asarray(random_types(r))
+    vel = jnp.asarray((r.standard_normal((3, N, N, N)) * 150).astype(
+        np.float32))  # |v|*dt up to ~6 cells > R=2
+    fast = np.asarray(vstages.advect(types, vel, CFG))
+    assert np.isfinite(fast).all()
+    assert np.abs(fast).max() <= np.abs(np.asarray(vel)).max() + 1e-3

@@ -79,8 +79,18 @@ class FluidConfig:
     render_surface_diffuse_color: Tuple[float, float, float] = (0.0, 0.8, 0.7)
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
-    # --- numerics ------------------------------------------------------------
+    # --- numerics / performance ----------------------------------------------
     dtype: str = "float32"
+    # Semi-Lagrangian backtrace displacement bound in cells for the gather-free
+    # shift-select advection path ("shift").  Displacements are clamped to
+    # [-R, R]; R=2 covers |v| <= 200 cells/s at dt=0.01.  "gather" is the
+    # reference-shaped per-point gather path (slow on TPU, exact for any CFL).
+    advect_max_displacement: int = 2
+    advect_method: str = "auto"           # "auto" | "pallas" | "shift" | "gather"
+    # Particle velocity sampling: "packed" = one 64-lane row gather per
+    # particle from a precomputed neighborhood table (TPU-fast);
+    # "gather" = 24 scalar gathers per particle (reference-shaped).
+    particle_sampler: str = "packed"      # "packed" | "gather"
 
     # ------------------------------------------------------------------ derived
     @property

@@ -48,6 +48,12 @@ class FluidState(NamedTuple):
     float_dens_2: jax.Array  # detailed grid, float32
     positions: jax.Array     # (P, 3) float32
     active: jax.Array        # (P,)   bool
+    detailed_occ: jax.Array  # detailed grid, uint8 — particle occupancy of
+    #                          the CURRENT positions.  Carried across frames
+    #                          so one scatter per step serves both the
+    #                          reference's stage-01 (pre-move, == last
+    #                          frame's post-move) and stage-15 histograms;
+    #                          the pipeline only ever consumes density > 0.
     step: jax.Array          # ()     int32
 
 
@@ -82,6 +88,8 @@ def initial_state(cfg: FluidConfig) -> FluidState:
     velocities, cell types (INACTIVE) and inertia, then run the particle-spawn
     kernel.  float_dens buffers start at zero (fresh device allocations).
     """
+    from tpu_fluid.stages.particles import detailed_occupancy
+
     gx, gy, gz = cfg.grid_size
     dx, dy, dz = cfg.detailed_size
     dt = cfg.jnp_dtype
@@ -94,6 +102,7 @@ def initial_state(cfg: FluidConfig) -> FluidState:
         float_dens_2=jnp.zeros((dx, dy, dz), dtype=dt),
         positions=pos,
         active=active,
+        detailed_occ=detailed_occupancy(pos, active, cfg),
         step=jnp.zeros((), dtype=jnp.int32),
     )
 

@@ -1,0 +1,99 @@
+"""Pallas kernel: packed-row trilinear weight reduction + Euler update.
+
+Consumes the (P, 64) rows produced by the packed-table gather
+(ops/packed_sampler.py) and fuses everything after the gather — per-axis hat
+weights, the 54-lane weighted reduction for all 3 staggered components, and
+the forward-Euler position update — into one VPU pass.  The XLA version
+materializes ~6 GB of weight intermediates at 1M particles; this kernel
+touches rows once.
+
+Layout: everything particle-major-minor, i.e. (lanes, P) with P on the lane
+dimension, so per-lane expressions are full-width VPU ops and the 64-way
+stack is a sublane concat (lane-dim stacks would relayout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_fluid.ops.packed_sampler import _OTHER, _lane
+
+
+def _sample_update_kernel(rows_ref, pos_ref, act_ref, out_ref, *,
+                          grid_size, dt):
+    pos = pos_ref[...]                        # (3, PB)
+    rows = rows_ref                           # (64, PB) ref, lane-major
+    shape = grid_size
+
+    jf = [jnp.clip(jnp.floor(pos[d]), 0.0, shape[d] - 1.0) for d in range(3)]
+
+    vel = []
+    for c in range(3):
+        # per-axis texel coords, offsets, fractions for component c
+        os_, fs = [], []
+        for d in range(3):
+            t = jnp.clip(pos[d] - 0.5 + (0.5 if d == c else 0.0),
+                         0.0, shape[d] - 1.0)
+            i0 = jnp.floor(t)
+            os_.append(i0 - jf[d])
+            fs.append(t - i0)
+        a1, a2 = _OTHER[c]
+
+        def axw(d, delta):
+            return ((os_[d] == delta) * (1.0 - fs[d])
+                    + (os_[d] == delta - 1) * fs[d])
+
+        acc = jnp.zeros_like(pos[0])
+        for dc in (0, 1):
+            wc = (1.0 - fs[c]) if dc == 0 else fs[c]
+            for d1 in (-1, 0, 1):
+                w1 = axw(a1, d1)
+                for d2 in (-1, 0, 1):
+                    ln = _lane(c, dc, d1, d2)
+                    acc = acc + (wc * w1 * axw(a2, d2)) * rows[ln]
+        vel.append(acc)
+
+    act = act_ref[0]
+    for d in range(3):
+        out_ref[d] = pos[d] + jnp.where(act > 0.5, vel[d] * dt, 0.0)
+
+
+def sample_and_move(rows_t: jnp.ndarray, pos_t: jnp.ndarray,
+                    active: jnp.ndarray, grid_size, dt: float,
+                    pb: int = 8192) -> jnp.ndarray:
+    """rows_t: (64, P) gathered packed rows, transposed in XLA (an in-kernel
+    transpose routes through the MXU in bf16 and loses ~3 digits); pos_t:
+    (3, P); active: (P,).  Returns new positions (3, P)."""
+    p = pos_t.shape[1]
+    padded = (p + pb - 1) // pb * pb
+    if padded != p:
+        rows_t = jnp.pad(rows_t, ((0, 0), (0, padded - p)))
+        pos_t = jnp.pad(pos_t, ((0, 0), (0, padded - p)))
+        active = jnp.pad(active, (0, padded - p))
+    grid = (padded // pb,)
+    kernel = functools.partial(_sample_update_kernel,
+                               grid_size=tuple(float(g) for g in grid_size),
+                               dt=dt)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((64, pb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, pb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, pb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, padded), pos_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rows_t, pos_t, active.astype(pos_t.dtype).reshape(1, -1))
+    return out[:, :p]

@@ -32,9 +32,12 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     old_types = state.cell_types
     vel = state.velocity
 
-    # 01-03: classify cells from the particle histogram
-    dens = particles.particle_densities(state.positions, state.active, cfg)
-    new_types = celltypes.update_water(dens)
+    # 01-03: classify cells from particle occupancy.  state.detailed_occ is
+    # the occupancy of the current positions, scattered at the end of the
+    # previous step (one scatter/step serves stages 01 and 15, since the
+    # pipeline only consumes density > 0 — see stages/particles.py).
+    occ_sim = particles.occupancy_to_sim_grid(state.detailed_occ, cfg)
+    new_types = celltypes.update_water(occ_sim)
     new_types = celltypes.update_air(new_types)
 
     # 04-05: velocity extrapolation into newly-active faces
@@ -59,9 +62,10 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     # 14: move particles through the projected field
     pos = particles.move_particles(vel, state.positions, state.active, cfg)
 
-    # 15-18: surface field update
-    ddens = particles.detailed_densities(pos, state.active, cfg)
-    inertia = surface_fields.update_inertia(ddens, state.inertia, cfg)
+    # 15-18: surface field update (occupancy scatter on the moved particles;
+    # also consumed by the next frame's stage 01)
+    occ = particles.detailed_occupancy(pos, state.active, cfg)
+    inertia = surface_fields.update_inertia(occ, state.inertia, cfg)
     f1 = surface_fields.float_densities(inertia, cfg)
     f1, f2 = surface_fields.blur_float_densities(types, f1,
                                                  state.float_dens_2, cfg)
@@ -74,6 +78,7 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
         float_dens_2=f2,
         positions=pos,
         active=state.active,
+        detailed_occ=occ,
         step=state.step + 1,
     )
 

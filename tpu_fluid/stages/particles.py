@@ -21,6 +21,40 @@ def particle_densities(positions: jnp.ndarray, active: jnp.ndarray,
     return particle_cell_histogram(positions, active, cfg.grid_size)
 
 
+def detailed_occupancy(positions: jnp.ndarray, active: jnp.ndarray,
+                       cfg: FluidConfig) -> jnp.ndarray:
+    """Occupancy (0/1 uint8) of the detailed grid — one scatter-max instead
+    of a full histogram.
+
+    Perf rationale: TPU scatter cost is bound by the number of update
+    requests (~10 ns each for 1M particles), and the pipeline only ever
+    consumes `density > 0` — stage 02's water test
+    (`update_water.comp:28`) and stage 16's filled/neighbor tests
+    (`densities_inertia.comp:40,50`) — never the actual counts.  One
+    occupancy scatter on the fine grid therefore replaces both of the
+    reference's histogram dispatches (01 and 15): the sim-grid water mask is
+    the res^3 block-OR of this field (floor(p) == floor(floor(p*res)/res)).
+    """
+    dx, dy, dz = cfg.detailed_size
+    p = positions * float(cfg.surface_render_resolution)
+    idx = jnp.trunc(p).astype(jnp.int32)
+    x, y, z = idx[..., 0], idx[..., 1], idx[..., 2]
+    inb = ((x >= 0) & (x < dx) & (y >= 0) & (y < dy) & (z >= 0) & (z < dz)
+           & active)
+    flat = jnp.where(inb, x * (dy * dz) + y * dz + z, 0)
+    occ = jnp.zeros((dx * dy * dz,), dtype=jnp.uint8)
+    occ = occ.at[flat].max(inb.astype(jnp.uint8))
+    return occ.reshape(dx, dy, dz)
+
+
+def occupancy_to_sim_grid(occ: jnp.ndarray, cfg: FluidConfig) -> jnp.ndarray:
+    """Sim-grid occupancy = block-OR (max-pool) of detailed occupancy over
+    each res^3 block."""
+    r = cfg.surface_render_resolution
+    gx, gy, gz = cfg.grid_size
+    return occ.reshape(gx, r, gy, r, gz, r).max(axis=(1, 3, 5))
+
+
 def detailed_densities(positions: jnp.ndarray, active: jnp.ndarray,
                        cfg: FluidConfig) -> jnp.ndarray:
     """Stage 15: particles-per-cell histogram on the detailed (surface) grid,
@@ -36,6 +70,28 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
     """Stage 14: forward-Euler particle advection with staggered trilinear
     velocity sampling (`particles.comp:27-52`).  No position clamping —
     containment relies on stage 10's solid repel velocities, as in the
-    reference."""
-    v = velocity_at(vel, positions)
+    reference.
+
+    The default "packed" sampler does one 64-lane row gather per particle
+    from a precomputed per-cell neighborhood table instead of 24 scalar
+    gathers (~30x faster on TPU; see ops/packed_sampler.py).
+    """
+    import jax
+
+    if cfg.particle_sampler == "packed":
+        from tpu_fluid.ops.packed_sampler import (build_packed_table,
+                                                  packed_row_indices,
+                                                  sample_velocity_packed)
+        table = build_packed_table(vel)
+        if jax.default_backend() == "tpu":
+            # gather rows in XLA, fuse weights + Euler update in Pallas
+            from tpu_fluid.kernels.particle_sample import sample_and_move
+            rows = jnp.take(table, packed_row_indices(positions,
+                                                      cfg.grid_size), axis=0)
+            new_t = sample_and_move(rows.T, positions.T, active,
+                                    cfg.grid_size, cfg.dt)
+            return new_t.T
+        v = sample_velocity_packed(table, cfg.grid_size, positions)
+    else:
+        v = velocity_at(vel, positions)
     return jnp.where(active[:, None], positions + v * cfg.dt, positions)

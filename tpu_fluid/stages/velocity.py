@@ -7,6 +7,7 @@ MAC velocities; component c of cell i lives on the lower face of i in dim c.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpu_fluid.core.config import FluidConfig
@@ -69,27 +70,27 @@ def set_extrapolated_velocities(old_types: jnp.ndarray,
     return jnp.stack(out)
 
 
-def advect(types: jnp.ndarray, vel: jnp.ndarray,
-           cfg: FluidConfig) -> jnp.ndarray:
-    """Stage 07: semi-Lagrangian advection, per staggered component
-    (`07_advect/advect.comp:52-97`).
-
-    For component c at cell i: if i_c != 0 and (cell i is WATER or cell
-    i + e_c is WATER — the reference checks the *upper* neighbor,
-    `advect.comp:66-71`): sample the full velocity at the face center,
-    backtrace x - v*dt, resample component c there; else keep.
-    """
+def _advect_condition(types: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Advection applies to component c of cell i iff i_c != 0 and (cell i is
+    WATER or cell i + e_c is WATER — the reference checks the *upper*
+    neighbor, `advect.comp:66-71`)."""
     water = types == CellType.WATER
+    up = tuple(1 if k == c else 0 for k in range(3))
+    cond = water | shifted(water, up, fill=False)
+    idx = jnp.arange(types.shape[c])
+    nonzero = (idx != 0).reshape(tuple(-1 if k == c else 1 for k in range(3)))
+    return cond & nonzero
+
+
+def advect_gather(types: jnp.ndarray, vel: jnp.ndarray,
+                  cfg: FluidConfig) -> jnp.ndarray:
+    """Stage 07, reference-shaped path: semi-Lagrangian advection with
+    per-point trilinear gathers (`07_advect/advect.comp:52-97`).  Exact but
+    gather-bound on TPU; kept as the semantics oracle for `advect`."""
     base = _cell_centers(types.shape, vel.dtype)
     out = []
     for c in range(3):
-        up = tuple(1 if k == c else 0 for k in range(3))
-        cond = water | shifted(water, up, fill=False)
-        idx = jnp.arange(types.shape[c])
-        nonzero = (idx != 0).reshape(
-            tuple(-1 if k == c else 1 for k in range(3)))
-        cond = cond & nonzero
-
+        cond = _advect_condition(types, c)
         fmove = jnp.array([0.5 if k != c else 0.0 for k in range(3)],
                           dtype=vel.dtype)
         pos = base + fmove                      # face center of component c
@@ -97,6 +98,119 @@ def advect(types: jnp.ndarray, vel: jnp.ndarray,
         back = pos - cur_v * cfg.dt
         sampled = velocity_component_at(vel, back, c)
         out.append(jnp.where(cond, sampled, vel[c]))
+    return jnp.stack(out)
+
+
+def face_center_velocity(vel: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Full velocity vector sampled at every face center of component c —
+    the first sample of `advect.comp:74-78`, which is grid-aligned and
+    therefore reduces to exact structured averages (no gather):
+
+      component c     -> the stored value itself,
+      component c'!=c -> 4-point average over {i_c-1, i_c} x {i_c', i_c'+1}
+                         with clamp-to-edge at the borders.
+    """
+    from tpu_fluid.ops.packed_sampler import _edge_shift
+    comps = []
+    for cp in range(3):
+        if cp == c:
+            comps.append(vel[c])
+            continue
+        acc = jnp.zeros_like(vel[cp])
+        for dc in (-1, 0):
+            for dcp in (0, 1):
+                off = [0, 0, 0]
+                off[c] = dc
+                off[cp] = dcp
+                acc = acc + _edge_shift(vel[cp], tuple(off))
+        comps.append(0.25 * acc)
+    return jnp.stack(comps)
+
+
+def advect(types: jnp.ndarray, vel: jnp.ndarray,
+           cfg: FluidConfig) -> jnp.ndarray:
+    """Stage 07 dispatcher: picks the Pallas kernel on TPU ("auto"),
+    the XLA shift-select path elsewhere, or whatever cfg.advect_method pins.
+    """
+    method = cfg.advect_method
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "shift"
+    if method == "gather":
+        return advect_gather(types, vel, cfg)
+    if method == "pallas":
+        return advect_pallas(types, vel, cfg)
+    return advect_shift(types, vel, cfg)
+
+
+def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
+                  cfg: FluidConfig) -> jnp.ndarray:
+    """Stage 07 via the Pallas slab kernel (kernels/advect.py); same
+    semantics as advect_shift."""
+    from tpu_fluid.kernels.advect import advect_component_pallas
+    r = cfg.advect_max_displacement
+    out = []
+    for c in range(3):
+        cond = _advect_condition(types, c)
+        u = -face_center_velocity(vel, c) * cfg.dt
+        out.append(advect_component_pallas(vel[c], u, cond, r))
+    return jnp.stack(out)
+
+
+def advect_shift(types: jnp.ndarray, vel: jnp.ndarray,
+                 cfg: FluidConfig) -> jnp.ndarray:
+    """Stage 07, XLA shift-select path: gather-free semi-Lagrangian
+    advection.
+
+    The backtraced sample point for component c at cell i is exactly
+    t = i - v_face * dt in texel space (face-center offset and stagger shift
+    cancel), so the displacement u = -v_face*dt is bounded by the CFL number.
+    Instead of a random gather we evaluate the trilinear interpolation as a
+    masked sum over all integer offsets |delta| <= R of edge-replicated
+    shifted copies of the field — pure VPU work that XLA tile-fuses, and that
+    shards cleanly (halo width R).
+
+    R = cfg.advect_max_displacement cells; displacements are clamped to
+    [-R, R] (the only deviation from the reference, and only for cells moving
+    faster than R cells/step; R=2 covers |v| <= 200 at dt=0.01).
+    """
+    r = cfg.advect_max_displacement
+    from tpu_fluid.ops.packed_sampler import _edge_shift
+    shape = types.shape
+    out = []
+    for c in range(3):
+        cond = _advect_condition(types, c)
+        u = -face_center_velocity(vel, c) * cfg.dt        # (3, X, Y, Z)
+        u = jnp.clip(u, -r, r - 1e-4)
+        # clamp-to-edge: clip the absolute texel coordinate to [0, N-1]
+        axes = []
+        for d in range(3):
+            n = shape[d]
+            i_d = jnp.arange(n, dtype=vel.dtype).reshape(
+                tuple(-1 if k == d else 1 for k in range(3)))
+            t_d = jnp.clip(i_d + u[d], 0.0, n - 1.0)
+            u_d = t_d - i_d
+            o_d = jnp.floor(u_d)
+            f_d = u_d - o_d
+            # per-offset hat weights: w[delta] = (o==delta)(1-f) + (o==delta-1)f
+            w = [(o_d == delta) * (1.0 - f_d) + (o_d == delta - 1) * f_d
+                 for delta in range(-r, r + 1)]
+            axes.append(w)
+        wx, wy, wz = axes
+        # pad once (edge mode = clamp-to-edge), then every shifted copy is a
+        # plain slice of the padded array
+        padded = jnp.pad(vel[c], r, mode="edge")
+        gx, gy, gz = shape
+
+        acc = jnp.zeros_like(vel[c])
+        for ax, dxo in enumerate(range(-r, r + 1)):
+            for ay, dyo in enumerate(range(-r, r + 1)):
+                wxy = wx[ax] * wy[ay]
+                for az, dzo in enumerate(range(-r, r + 1)):
+                    sl = padded[r + dxo:r + dxo + gx,
+                                r + dyo:r + dyo + gy,
+                                r + dzo:r + dzo + gz]
+                    acc = acc + (wxy * wz[az]) * sl
+        out.append(jnp.where(cond, acc, vel[c]))
     return jnp.stack(out)
 
 
