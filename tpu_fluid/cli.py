@@ -1,0 +1,163 @@
+"""Command-line interface.
+
+The reference has no CLI at all — every knob is a compile-time constant
+(`simulation_constants.h`, SURVEY.md §5.6).  Here the whole FluidConfig is
+scriptable: grid size, particle count, physics constants, solver iterations,
+plus run-loop controls (steps, frame/mesh dumps, checkpoints, diagnostics).
+
+    tpu-fluid --grid 64 --steps 200 --frame-every 50 --out out/
+    tpu-fluid --config scene.json --steps 1000 --mesh-every 100
+    tpu-fluid --resume out/checkpoint.npz --steps 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-fluid",
+        description="TPU-native MAC-grid fluid simulation")
+    p.add_argument("--grid", type=int, default=None,
+                   help="cubic grid size (uses the scaled reference scene); "
+                        "omit for the exact 20^3 reference scene")
+    p.add_argument("--particles", type=int, default=1_000_000)
+    p.add_argument("--jacobi-iters", type=int, default=200)
+    p.add_argument("--surface-resolution", type=int, default=None,
+                   help="detailed cells per sim cell (reference: 5)")
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON file of FluidConfig field overrides")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override any FluidConfig field, e.g. "
+                        "--set gravity=9.81 --set jacobi_iters=100")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--out", type=str, default="out")
+    p.add_argument("--frame-every", type=int, default=0,
+                   help="dump a PNG frame every N steps")
+    p.add_argument("--mesh-every", type=int, default=0,
+                   help="dump the surface mesh (OBJ) every N steps")
+    p.add_argument("--log-every", type=int, default=0,
+                   help="print diagnostics every N steps")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume from a checkpoint file")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--no-surface", action="store_true")
+    p.add_argument("--no-particles", action="store_true")
+    return p
+
+
+def config_from_args(args):
+    from tpu_fluid.core.config import FluidConfig
+    if args.grid:
+        cfg = FluidConfig.scaled_scene(
+            args.grid, particle_count=args.particles,
+            jacobi_iters=args.jacobi_iters,
+            surface_render_resolution=args.surface_resolution or 2)
+    else:
+        cfg = FluidConfig.reference_scene().replace(
+            particle_count=args.particles, jacobi_iters=args.jacobi_iters)
+        if args.surface_resolution:
+            cfg = cfg.replace(
+                surface_render_resolution=args.surface_resolution)
+    if args.dt is not None:
+        cfg = cfg.replace(dt=args.dt)
+    overrides = {}
+    if args.config:
+        with open(args.config) as f:
+            overrides.update(json.load(f))
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = v
+    if overrides:
+        fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+        clean = {}
+        for k, v in overrides.items():
+            if k not in fields:
+                raise SystemExit(f"unknown config field: {k}")
+            cur = getattr(cfg, k)
+            if isinstance(v, str):
+                if isinstance(cur, bool):
+                    v = v.lower() in ("1", "true", "yes")
+                elif isinstance(cur, int):
+                    v = int(v)
+                elif isinstance(cur, float):
+                    v = float(v)
+                elif isinstance(cur, tuple) or cur is None:
+                    v = tuple(json.loads(v)) if v.startswith("[") else v
+            elif isinstance(v, list):
+                v = tuple(v)
+            clean[k] = v
+        cfg = cfg.replace(**clean)
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from tpu_fluid.engine import Simulation
+    from tpu_fluid.render.export import write_obj
+    from tpu_fluid.surface.marching_cubes import mesh_to_numpy
+
+    if args.resume:
+        sim = Simulation.load(args.resume)
+        print(f"resumed from {args.resume} at step "
+              f"{int(sim.state.step)}", flush=True)
+    else:
+        cfg = config_from_args(args)
+        sim = Simulation(cfg=cfg)
+        print(f"grid {cfg.grid_size} particles {cfg.particle_count} "
+              f"detailed {cfg.detailed_size} jacobi {cfg.jacobi_iters}",
+              flush=True)
+    sim.render_surface = not args.no_surface
+    sim.render_particles = not args.no_particles
+
+    os.makedirs(args.out, exist_ok=True)
+
+    def dump_mesh(done):
+        mesh = sim.surface_mesh()
+        tris, normals = mesh_to_numpy(mesh)
+        path = os.path.join(args.out, f"mesh_{done:06d}.obj")
+        write_obj(path, tris, normals)
+        print(f"wrote {path} ({len(tris)} triangles)", flush=True)
+
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        chunk = args.steps - done
+        for cadence in (args.frame_every, args.log_every, args.mesh_every,
+                        args.checkpoint_every):
+            if cadence:
+                rem = cadence - (done % cadence)
+                chunk = min(chunk, rem)
+        sim.step(chunk)
+        done += chunk
+        if args.log_every and done % args.log_every == 0:
+            from tpu_fluid.utils.diagnostics import format_diagnostics
+            print(format_diagnostics(sim.diagnostics()), flush=True)
+        if args.frame_every and done % args.frame_every == 0:
+            import numpy as np
+            from tpu_fluid.render.export import write_png
+            img = np.asarray(sim.render_frame(args.width, args.height))
+            write_png(os.path.join(args.out, f"frame_{done:06d}.png"), img)
+        if args.mesh_every and done % args.mesh_every == 0:
+            dump_mesh(done)
+        if args.checkpoint_every and done % args.checkpoint_every == 0:
+            sim.save(os.path.join(args.out, "checkpoint.npz"))
+    dt = time.time() - t0
+    import jax
+    jax.block_until_ready(sim.state.positions)
+    print(f"{args.steps} steps in {dt:.2f}s "
+          f"({args.steps / dt:.1f} steps/s incl. host work)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""High-level simulation engine — the user-facing replacement for the
+reference's application layer (`main.cpp:26-218`).
+
+The reference's main loop is: poll input -> record+submit sim command buffer
+(unless paused) -> record+submit render pass -> present -> fence-wait.  The
+TPU engine is the same loop without a window: `run()` advances the jitted
+step (many frames per device dispatch if requested), renders headless frames
+at a chosen cadence, and exposes pause/resume (Q/E in the reference,
+`main.cpp:163-166`), surface-render and particle-render toggles (R/F),
+checkpointing, and per-step diagnostics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.state import FluidState, initial_state
+from tpu_fluid.render.camera import Camera
+from tpu_fluid.solver.step import jit_multi_step, jit_step
+from tpu_fluid.stages.surface_fields import surface_field
+from tpu_fluid.surface.marching_cubes import extract_surface
+from tpu_fluid.utils.diagnostics import diagnostics, format_diagnostics
+
+
+@dataclasses.dataclass
+class Simulation:
+    cfg: FluidConfig
+    state: FluidState = None
+    camera: Camera = None
+    paused: bool = False              # Q/E in the reference
+    render_particles: bool = True     # reference render toggles (R/F keys)
+    render_surface: bool = True
+    max_surface_cells: Optional[int] = None
+
+    def __post_init__(self):
+        if self.state is None:
+            self.state = initial_state(self.cfg)
+        if self.camera is None:
+            self.camera = Camera.for_scene(self.cfg.grid_size)
+
+    # ------------------------------------------------------------- stepping
+    def step(self, n: int = 1) -> "Simulation":
+        """Advance n frames (one XLA dispatch for n > 1).  No-op if paused —
+        matching the reference, where pause skips the sim submit but keeps
+        rendering (`main.cpp:163-177`)."""
+        if self.paused or n <= 0:
+            return self
+        if n == 1:
+            self.state = jit_step(self.state, self.cfg)
+        else:
+            self.state = jit_multi_step(self.state, self.cfg, n)
+        return self
+
+    def pause(self):
+        self.paused = True
+        return self
+
+    def resume(self):
+        self.paused = False
+        return self
+
+    # ------------------------------------------------------------ rendering
+    def surface_mesh(self):
+        """Extract the marching-cubes mesh of the current surface field."""
+        field = surface_field(self.state.float_dens_1, self.state.float_dens_2,
+                              self.cfg)
+        return extract_surface(field, self.cfg,
+                               max_cells=self.max_surface_cells)
+
+    def render_frame(self, width: int = 1024, height: int = 1024):
+        """Headless frame: (H, W, 3) uint8 device array."""
+        from tpu_fluid.render.splat import render_particles_and_surface
+        mesh = self.surface_mesh() if self.render_surface else None
+        return render_particles_and_surface(
+            self.state.positions,
+            self.state.active if self.render_particles else
+            self.state.active & False,
+            mesh.vertices if mesh else None,
+            mesh.normals if mesh else None,
+            mesh.valid if mesh else None,
+            self.camera.mvp(), self.cfg, width, height)
+
+    # ------------------------------------------------------------------- io
+    def save(self, path: str):
+        from tpu_fluid.io.checkpoint import save_checkpoint
+        save_checkpoint(path, self.state, self.cfg)
+        return self
+
+    @staticmethod
+    def load(path: str) -> "Simulation":
+        from tpu_fluid.io.checkpoint import load_checkpoint
+        state, cfg = load_checkpoint(path)
+        return Simulation(cfg=cfg, state=state)
+
+    # ---------------------------------------------------------- diagnostics
+    def diagnostics(self):
+        return diagnostics(self.state, self.cfg)
+
+    # ------------------------------------------------------------- run loop
+    def run(self, n_steps: int, frame_every: int = 0,
+            frame_dir: str = "out", width: int = 1024, height: int = 1024,
+            log_every: int = 0, checkpoint_every: int = 0,
+            checkpoint_path: str = "out/checkpoint.npz",
+            on_frame: Optional[Callable] = None):
+        """The headless main loop."""
+        from tpu_fluid.render.export import write_png
+        done = 0
+        while done < n_steps:
+            chunk = n_steps - done
+            for cadence in (frame_every, log_every, checkpoint_every):
+                if cadence:
+                    chunk = min(chunk, cadence - (done % cadence) or cadence)
+            self.step(chunk)
+            done += chunk
+            if log_every and done % log_every == 0:
+                print(format_diagnostics(self.diagnostics()), flush=True)
+            if frame_every and done % frame_every == 0:
+                img = np.asarray(jax.device_get(self.render_frame(width,
+                                                                  height)))
+                path = os.path.join(frame_dir, f"frame_{done:06d}.png")
+                write_png(path, img)
+                if on_frame:
+                    on_frame(path, img)
+            if checkpoint_every and done % checkpoint_every == 0:
+                self.save(checkpoint_path)
+        return self

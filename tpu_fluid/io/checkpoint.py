@@ -1,0 +1,54 @@
+"""Checkpoint / resume.
+
+The reference has no persistence at all — pause/resume is runtime-only
+(Q/E keys, `main.cpp:163-164`) and state lives solely in GPU memory.  Here
+the full simulation state is the FluidState pytree (SURVEY.md §2.3's 12
+images + particle buffer collapse into its 9 arrays), so checkpointing is a
+single npz write; the config is stored alongside so a checkpoint is
+self-describing and restart-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.state import FluidState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: FluidState, cfg: FluidConfig) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {name: np.asarray(jax.device_get(leaf))
+              for name, leaf in zip(state._fields, state)}
+    meta = json.dumps({"version": _FORMAT_VERSION,
+                       "config": dataclasses.asdict(cfg)})
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp if tmp.endswith(".npz") else tmp,
+                        __meta__=np.frombuffer(meta.encode(), dtype=np.uint8),
+                        **arrays)
+    # numpy appends .npz to names without it
+    written = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(written, path)
+
+
+def load_checkpoint(path: str):
+    """Returns (state, cfg).  Arrays land on the default device."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        if meta["version"] != _FORMAT_VERSION:
+            raise ValueError(f"unknown checkpoint version {meta['version']}")
+        cfg_dict = meta["config"]
+        # tuples serialize as lists; restore
+        for k, v in cfg_dict.items():
+            if isinstance(v, list):
+                cfg_dict[k] = tuple(v)
+        cfg = FluidConfig(**cfg_dict)
+        leaves = [jax.device_put(data[name]) for name in FluidState._fields]
+    return FluidState(*leaves), cfg

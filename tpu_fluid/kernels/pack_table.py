@@ -1,0 +1,79 @@
+"""Pallas kernel: build the packed 64-lane velocity neighborhood table.
+
+The XLA construction (ops/packed_sampler.build_packed_table) pays ~3.3 GB of
+HBM traffic at 128^3: 54 edge-padded shift copies plus an MXU identity
+transpose.  Here each x-slab program assembles the 3x3x3 neighborhood of its
+slab in VMEM (x-halo via prev/cur/next block views, y/z edge replication
+in-register), stacks the 54 lane values as a (64, M) block and transposes it
+in VMEM — HBM traffic is one read of the velocity field (x3 halo overlap)
+plus one write of the table (~0.8 GB at 128^3).
+
+The in-VMEM transpose is a Mosaic data-movement op (exact), not an MXU
+matmul, so no bf16 rounding is involved.  tests/test_fast_paths.py pins the
+result to the XLA construction bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_fluid.ops.packed_sampler import LANES, _OTHER, _lane
+
+
+def _pack_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
+    gx, gy, gz = shape
+    # assemble (3, 3, Y, Z): x rows {-1, 0, +1} around this slab (tx == 1)
+    a = jnp.concatenate([prev_ref[:, -1:], cur_ref[...], next_ref[:, :1]],
+                        axis=1)
+    # y/z edge replication -> (3, 3, Y+2, Z+2)
+    a = jnp.concatenate([a[:, :, :1], a, a[:, :, -1:]], axis=2)
+    a = jnp.concatenate([a[..., :1], a, a[..., -1:]], axis=3)
+
+    lane_vals = {}
+    for c in range(3):
+        a1, a2 = _OTHER[c]
+        for dc in (0, 1):
+            for d1 in (-1, 0, 1):
+                for d2 in (-1, 0, 1):
+                    off = [0, 0, 0]
+                    off[c] = dc
+                    off[a1] = d1
+                    off[a2] = d2
+                    lane_vals[_lane(c, dc, d1, d2)] = a[
+                        c, 1 + off[0],
+                        1 + off[1]:1 + off[1] + gy,
+                        1 + off[2]:1 + off[2] + gz]
+    zero = jnp.zeros((gy, gz), dtype=out_ref.dtype)
+    stacked = jnp.stack([lane_vals.get(ln, zero) for ln in range(LANES)],
+                        axis=0)                     # (64, Y, Z)
+    # exact data-movement transpose in VMEM (not an MXU matmul -> no bf16)
+    out_ref[0] = jnp.transpose(stacked, (1, 2, 0))  # (Y, Z, 64)
+
+
+def build_packed_table_pallas(vel: jnp.ndarray) -> jnp.ndarray:
+    """vel (3, X, Y, Z) -> packed table (X*Y*Z, 64); same contents as
+    ops/packed_sampler.build_packed_table."""
+    _, gx, gy, gz = vel.shape
+    # one slab of edge padding each side so prev/next views exist at borders
+    vx = jnp.pad(vel, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    kern = functools.partial(_pack_kernel, shape=(gx, gy, gz))
+    slab = lambda off: pl.BlockSpec(            # noqa: E731
+        (3, 1, gy, gz), lambda i, o=off: (0, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[slab(0), slab(1), slab(2)],
+        out_specs=pl.BlockSpec((1, gy, gz, LANES), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, gz, LANES), vel.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(vx, vx, vx)
+    # row-major (X, Y, Z, 64) -> (X*Y*Z, 64) is a free reshape
+    return out.reshape(gx * gy * gz, LANES)

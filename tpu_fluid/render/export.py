@@ -1,0 +1,62 @@
+"""Host-side exporters: PNG frames, OBJ/PLY meshes, particle clouds.
+
+The reference presents to a GLFW swapchain (`main.cpp:209`); headless TPU
+rendering dumps frames and meshes to disk instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def write_png(path: str, image) -> None:
+    """image: (H, W, 3) uint8."""
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(np.asarray(image), mode="RGB").save(path)
+
+
+def write_obj(path: str, tris, normals=None) -> None:
+    """Triangle soup (T,3,3) -> Wavefront OBJ (flat normals optional)."""
+    tris = np.asarray(tris)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("# tpu_fluid surface mesh\n")
+        for t in tris:
+            for v in t:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if normals is not None:
+            for n in np.asarray(normals):
+                f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+        for i in range(len(tris)):
+            a, b, c = 3 * i + 1, 3 * i + 2, 3 * i + 3
+            if normals is not None:
+                f.write(f"f {a}//{i+1} {b}//{i+1} {c}//{i+1}\n")
+            else:
+                f.write(f"f {a} {b} {c}\n")
+
+
+def write_ply(path: str, tris) -> None:
+    """Binary-less ASCII PLY triangle soup."""
+    tris = np.asarray(tris, dtype=np.float32)
+    nv = tris.shape[0] * 3
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {nv}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {tris.shape[0]}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for t in tris:
+            for v in t:
+                f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for i in range(tris.shape[0]):
+            f.write(f"3 {3*i} {3*i+1} {3*i+2}\n")
+
+
+def write_particles_csv(path: str, positions, active) -> None:
+    pos = np.asarray(positions)[np.asarray(active)]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savetxt(path, pos, fmt="%.6f", delimiter=",", header="x,y,z")

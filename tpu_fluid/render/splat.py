@@ -1,0 +1,137 @@
+"""Device-side headless rendering: z-buffered point/sample splatting.
+
+Replaces the reference's two graphics pipelines with gather/scatter-style
+device passes producing an RGB image in HBM:
+
+ - particle pass (reference `30_render_particles/render.vert:28-45` +
+   `render.frag:20-26`): one point per active particle, screen size
+   min(base/depth, max) pixels, drawn as a circle in the particle color,
+   depth tested against the surface;
+ - surface pass (reference `31_render_surface` raster stage): the marching-
+   cubes triangles are densely sampled (fixed barycentric pattern per
+   triangle) and each sample splats with the triangle's flat-shaded color
+   `ambient + max(0, dot(-L, N)) * diffuse`
+   (`render_surface.frag:21-26`).
+
+Depth resolution uses the two-pass scatter idiom (TPU has no z-buffered
+raster unit): pass 1 scatter-min builds the depth buffer, pass 2 writes the
+color of every sample that won its pixel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_fluid.core.config import FluidConfig
+
+INF_DEPTH = jnp.float32(3.4e38)
+
+
+def project(mvp: jnp.ndarray, points: jnp.ndarray, width: int, height: int):
+    """points (N,3) world -> (pixel_x, pixel_y, view_depth, in_front)."""
+    p = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    clip = p @ mvp.T
+    w = clip[:, 3]
+    in_front = w > 1e-6
+    ndc = clip[:, :3] / jnp.maximum(w, 1e-6)[:, None]
+    px = (ndc[:, 0] * 0.5 + 0.5) * width
+    py = (ndc[:, 1] * 0.5 + 0.5) * height
+    return px, py, w, in_front
+
+
+def _flat(px, py, width, height, valid):
+    xi = jnp.floor(px).astype(jnp.int32)
+    yi = jnp.floor(py).astype(jnp.int32)
+    ok = valid & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+    return jnp.where(ok, yi * width + xi, 0), ok
+
+
+def splat_depth(depth_buf, px, py, depth, valid, width, height):
+    idx, ok = _flat(px, py, width, height, valid)
+    d = jnp.where(ok, depth, INF_DEPTH)
+    return depth_buf.at[idx].min(d)
+
+
+def splat_color(color_buf, depth_buf, px, py, depth, color, valid,
+                width, height, tol=1e-6):
+    """Write color where this sample's depth equals the depth-buffer winner."""
+    idx, ok = _flat(px, py, width, height, valid)
+    won = ok & (depth <= depth_buf[idx] * (1 + tol))
+    # scatter-max on a packed RGB word; ties pick the larger packed value
+    packed = (jnp.clip(color[:, 0] * 255, 0, 255).astype(jnp.uint32) << 16 |
+              jnp.clip(color[:, 1] * 255, 0, 255).astype(jnp.uint32) << 8 |
+              jnp.clip(color[:, 2] * 255, 0, 255).astype(jnp.uint32))
+    packed = jnp.where(won, packed | (1 << 30), 0).astype(jnp.uint32)
+    return color_buf.at[idx].max(packed)
+
+
+def render_particles_and_surface(positions, active, tris, tri_normals,
+                                 tri_valid, mvp, cfg: FluidConfig,
+                                 width: int = 1024, height: int = 1024,
+                                 samples_per_tri: int = 6,
+                                 particle_radius: int = 1):
+    """Full frame: surface triangles (dense sample splat) + particles.
+
+    tris: (T, 3, 3) world-space triangles (masked by tri_valid); pass
+    tris=None to skip the surface pass.  Returns (H, W, 3) uint8.
+    """
+    w, h = width, height
+    mvp = jnp.asarray(mvp, dtype=jnp.float32)
+    depth = jnp.full((w * h,), INF_DEPTH)
+    color = jnp.zeros((w * h,), dtype=jnp.uint32)
+
+    passes = []  # (px, py, depth, valid, color_rgb)
+
+    # --- surface samples --------------------------------------------------
+    if tris is not None:
+        light = np.asarray(cfg.render_light_direction, dtype=np.float32)
+        light = light / np.linalg.norm(light)
+        lam = jnp.maximum(0.0, -(tri_normals @ jnp.asarray(light)))
+        amb = jnp.asarray(cfg.render_surface_ambient_color)
+        dif = jnp.asarray(cfg.render_surface_diffuse_color)
+        tri_color = amb[None, :] + lam[:, None] * dif[None, :]   # (T, 3)
+
+        # fixed barycentric sample pattern (vertices + edge mids + centroid)
+        bary = np.array([
+            [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
+            [1 / 3, 1 / 3, 1 / 3],
+        ], dtype=np.float32)[:samples_per_tri + 1]
+        pts = jnp.einsum("sk,tkd->tsd", jnp.asarray(bary), tris)
+        pts = pts.reshape(-1, 3)
+        px, py, d, front = project(mvp, pts, w, h)
+        s = bary.shape[0]
+        valid = jnp.repeat(tri_valid, s) & front
+        col = jnp.repeat(tri_color, s, axis=0)
+        passes.append((px, py, d, valid, col))
+
+    # --- particles ---------------------------------------------------------
+    px, py, d, front = project(mvp, positions, w, h)
+    pcol = jnp.broadcast_to(
+        jnp.asarray(cfg.particle_render_color, dtype=jnp.float32),
+        (positions.shape[0], 3))
+    # splat a (2r+1)^2 circle per particle (reference point sprites are
+    # depth-scaled circles; small fixed radius approximates them)
+    for dx in range(-particle_radius, particle_radius + 1):
+        for dy in range(-particle_radius, particle_radius + 1):
+            if dx * dx + dy * dy > particle_radius * particle_radius:
+                continue
+            passes.append((px + dx, py + dy, d, active & front, pcol))
+
+    for (ppx, ppy, pd, pv, _) in passes:
+        depth = splat_depth(depth, ppx, ppy, pd, pv, w, h)
+    for (ppx, ppy, pd, pv, pc) in passes:
+        color = splat_color(color, depth, ppx, ppy, pd, pc, pv, w, h)
+
+    bg = (np.asarray(cfg.background_color) * 255).astype(np.uint8)
+    r = ((color >> 16) & 0xFF).astype(jnp.uint8)
+    g = ((color >> 8) & 0xFF).astype(jnp.uint8)
+    b = (color & 0xFF).astype(jnp.uint8)
+    hit = (color >> 30) & 1
+    img = jnp.stack([
+        jnp.where(hit == 1, r, bg[0]),
+        jnp.where(hit == 1, g, bg[1]),
+        jnp.where(hit == 1, b, bg[2]),
+    ], axis=-1)
+    return img.reshape(h, w, 3)

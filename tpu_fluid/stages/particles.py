@@ -82,15 +82,18 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
         from tpu_fluid.ops.packed_sampler import (build_packed_table,
                                                   packed_row_indices,
                                                   sample_velocity_packed)
-        table = build_packed_table(vel)
         if jax.default_backend() == "tpu":
-            # gather rows in XLA, fuse weights + Euler update in Pallas
+            # build the table and fuse weights + Euler update in Pallas;
+            # the row gather itself stays an XLA gather
+            from tpu_fluid.kernels.pack_table import build_packed_table_pallas
             from tpu_fluid.kernels.particle_sample import sample_and_move
+            table = build_packed_table_pallas(vel)
             rows = jnp.take(table, packed_row_indices(positions,
                                                       cfg.grid_size), axis=0)
             new_t = sample_and_move(rows.T, positions.T, active,
                                     cfg.grid_size, cfg.dt)
             return new_t.T
+        table = build_packed_table(vel)
         v = sample_velocity_packed(table, cfg.grid_size, positions)
     else:
         v = velocity_at(vel, positions)

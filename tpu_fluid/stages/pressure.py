@@ -74,6 +74,16 @@ def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
     const = n_air * cfg.air_pressure - b
     denom = jnp.maximum(aii, 1.0)
     update_mask = water & (aii > 0)
+    iters = cfg.jacobi_iters - (1 if cfg.reference_pressure_parity else 0)
+    p0 = jnp.full(types.shape, cfg.air_pressure, dtype=jnp.float32)
+
+    if jax.default_backend() == "tpu":
+        # K-fused Pallas sweeps: fold the per-cell constants so one sweep is
+        # p' = where(rd>0, neigh*rd + c2, p)
+        from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
+        rd = jnp.where(update_mask, 1.0 / denom, 0.0)
+        c2 = const / denom
+        return jacobi_sweeps_pallas(p0, rd, c2, water, iters)
 
     def sweep(_, p):
         pw = jnp.where(water, p, 0.0)
@@ -83,8 +93,6 @@ def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
         p_new = (neigh + const) / denom
         return jnp.where(update_mask, p_new, p)
 
-    iters = cfg.jacobi_iters - (1 if cfg.reference_pressure_parity else 0)
-    p0 = jnp.full(types.shape, cfg.air_pressure, dtype=jnp.float32)
     return jax.lax.fori_loop(0, iters, sweep, p0)
 
 
