@@ -73,10 +73,32 @@ class Simulation:
         return extract_surface(field, self.cfg,
                                max_cells=self.max_surface_cells)
 
-    def render_frame(self, width: int = 1024, height: int = 1024):
-        """Headless frame: (H, W, 3) uint8 device array."""
-        from tpu_fluid.render.splat import render_particles_and_surface
+    def render_frame(self, width: int = 1024, height: int = 1024,
+                     method: str = "splat"):
+        """Headless frame: (H, W, 3) uint8.
+
+        method="splat": fully on-device z-buffered splatting (no host
+        transfer of sim data).  method="native": exact-parity host
+        rasterization through the C++ library (point sprites sized
+        min(base/depth, max), true triangle raster) — pulls positions and the
+        mesh to the host first.
+        """
         mesh = self.surface_mesh() if self.render_surface else None
+        if method == "native":
+            from tpu_fluid.render.raster import render_frame_native
+            from tpu_fluid.surface.marching_cubes import mesh_to_numpy
+            tris, normals = mesh_to_numpy(mesh) if mesh else (None, None)
+            img = render_frame_native(
+                np.asarray(jax.device_get(self.state.positions)),
+                np.asarray(jax.device_get(
+                    self.state.active if self.render_particles
+                    else self.state.active & False)),
+                tris, normals, self.camera.mvp(), self.cfg, width, height)
+            if img is None:
+                raise RuntimeError("native rasterizer unavailable "
+                                   "(no C++ toolchain)")
+            return img
+        from tpu_fluid.render.splat import render_particles_and_surface
         return render_particles_and_surface(
             self.state.positions,
             self.state.active if self.render_particles else

@@ -1,0 +1,140 @@
+// Native z-buffered software rasterizer.
+//
+// The reference renders through Vulkan's native raster pipeline: 1M point
+// sprites sized min(base/depth, max) drawn as circles
+// (30_render_particles/render.vert:28-45, render.frag:20-26) and the
+// marching-cubes triangle stream with flat Lambert shading
+// (31_render_surface).  On TPU there is no raster unit, so exact-parity
+// frames are produced host-side by this C++ rasterizer (the device splat
+// renderer in render/splat.py remains as the fully-on-device alternative).
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in the image).
+//
+// Build: g++ -O3 -shared -fPIC rasterizer.cpp -o librasterizer.so
+// (driven by tpu_fluid/native/build.py or the repo Makefile).
+
+#include <cmath>
+#include <cstdint>
+#include <algorithm>
+
+namespace {
+
+struct Vec4 { float x, y, z, w; };
+
+inline Vec4 mvp_mul(const float* m, float x, float y, float z) {
+    // m is row-major 4x4
+    return Vec4{
+        m[0] * x + m[1] * y + m[2] * z + m[3],
+        m[4] * x + m[5] * y + m[6] * z + m[7],
+        m[8] * x + m[9] * y + m[10] * z + m[11],
+        m[12] * x + m[13] * y + m[14] * z + m[15],
+    };
+}
+
+inline void put(float* depth, uint8_t* rgb, int width, int px, int py,
+                float d, float r, float g, float b) {
+    int idx = py * width + px;
+    if (d < depth[idx]) {
+        depth[idx] = d;
+        rgb[3 * idx + 0] = (uint8_t)std::min(255.f, std::max(0.f, r * 255.f));
+        rgb[3 * idx + 1] = (uint8_t)std::min(255.f, std::max(0.f, g * 255.f));
+        rgb[3 * idx + 2] = (uint8_t)std::min(255.f, std::max(0.f, b * 255.f));
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Triangles: verts = n*3*3 world floats, colors = n*3 flat RGB.
+void rasterize_triangles(const float* verts, const float* colors,
+                         long n_tris, const float* mvp,
+                         int width, int height,
+                         float* depth, uint8_t* rgb) {
+    for (long t = 0; t < n_tris; ++t) {
+        const float* v = verts + t * 9;
+        Vec4 c[3];
+        bool ok = true;
+        float sx[3], sy[3], sd[3];
+        for (int k = 0; k < 3; ++k) {
+            c[k] = mvp_mul(mvp, v[3 * k], v[3 * k + 1], v[3 * k + 2]);
+            if (c[k].w <= 1e-6f) { ok = false; break; }
+            float inv = 1.0f / c[k].w;
+            sx[k] = (c[k].x * inv * 0.5f + 0.5f) * width;
+            sy[k] = (c[k].y * inv * 0.5f + 0.5f) * height;
+            sd[k] = c[k].w;  // view depth
+        }
+        if (!ok) continue;
+
+        int x0 = std::max(0, (int)std::floor(std::min({sx[0], sx[1], sx[2]})));
+        int x1 = std::min(width - 1,
+                          (int)std::ceil(std::max({sx[0], sx[1], sx[2]})));
+        int y0 = std::max(0, (int)std::floor(std::min({sy[0], sy[1], sy[2]})));
+        int y1 = std::min(height - 1,
+                          (int)std::ceil(std::max({sy[0], sy[1], sy[2]})));
+        if (x0 > x1 || y0 > y1) continue;
+
+        float ax = sx[1] - sx[0], ay = sy[1] - sy[0];
+        float bx = sx[2] - sx[0], by = sy[2] - sy[0];
+        float det = ax * by - ay * bx;
+        if (std::fabs(det) < 1e-12f) continue;
+        float inv_det = 1.0f / det;
+        float cr = colors[3 * t], cg = colors[3 * t + 1],
+              cb = colors[3 * t + 2];
+
+        for (int py = y0; py <= y1; ++py) {
+            for (int px = x0; px <= x1; ++px) {
+                float qx = px + 0.5f - sx[0], qy = py + 0.5f - sy[0];
+                float u = (qx * by - qy * bx) * inv_det;
+                float w = (ax * qy - ay * qx) * inv_det;
+                if (u < 0.f || w < 0.f || u + w > 1.f) continue;
+                float d = sd[0] + u * (sd[1] - sd[0]) + w * (sd[2] - sd[0]);
+                put(depth, rgb, width, px, py, d, cr, cg, cb);
+            }
+        }
+    }
+}
+
+// Point sprites: circles of radius min(base/depth, max)/2 pixels, matching
+// the reference's gl_PointSize = min(base / scr_pos.z, max).
+void rasterize_points(const float* pos, const uint8_t* active, long n_pts,
+                      const float* mvp, float base_size, float max_size,
+                      float cr, float cg, float cb,
+                      int width, int height,
+                      float* depth, uint8_t* rgb) {
+    for (long i = 0; i < n_pts; ++i) {
+        if (!active[i]) continue;
+        Vec4 c = mvp_mul(mvp, pos[3 * i], pos[3 * i + 1], pos[3 * i + 2]);
+        if (c.w <= 1e-6f) continue;
+        float inv = 1.0f / c.w;
+        float sx = (c.x * inv * 0.5f + 0.5f) * width;
+        float sy = (c.y * inv * 0.5f + 0.5f) * height;
+        float size = std::min(base_size / c.w, max_size);
+        float rad = std::max(0.75f, size * 0.5f);  // >= sqrt(0.5): the nearest pixel center is always covered
+        int x0 = std::max(0, (int)std::floor(sx - rad));
+        int x1 = std::min(width - 1, (int)std::ceil(sx + rad));
+        int y0 = std::max(0, (int)std::floor(sy - rad));
+        int y1 = std::min(height - 1, (int)std::ceil(sy + rad));
+        float r2 = rad * rad;
+        for (int py = y0; py <= y1; ++py) {
+            for (int px = x0; px <= x1; ++px) {
+                float dx = px + 0.5f - sx, dy = py + 0.5f - sy;
+                if (dx * dx + dy * dy > r2) continue;
+                put(depth, rgb, width, px, py, c.w, cr, cg, cb);
+            }
+        }
+    }
+}
+
+// Fill helpers so callers need not ship numpy loops.
+void clear_buffers(float* depth, uint8_t* rgb, long n_px,
+                   uint8_t bg_r, uint8_t bg_g, uint8_t bg_b) {
+    for (long i = 0; i < n_px; ++i) {
+        depth[i] = 3.0e38f;
+        rgb[3 * i] = bg_r;
+        rgb[3 * i + 1] = bg_g;
+        rgb[3 * i + 2] = bg_b;
+    }
+}
+
+}  // extern "C"
