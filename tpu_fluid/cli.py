@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tpu-fluid",
         description="TPU-native MAC-grid fluid simulation")
+    p.add_argument("--scene", type=str, default="fountain",
+                   choices=("fountain", "dam_break", "drop"),
+                   help="scene preset (reference has only 'fountain')")
     p.add_argument("--grid", type=int, default=None,
                    help="cubic grid size (uses the scaled reference scene); "
                         "omit for the exact 20^3 reference scene")
@@ -57,7 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args):
     from tpu_fluid.core.config import FluidConfig
-    if args.grid:
+    from tpu_fluid.core.scenes import SCENES
+    if args.scene != "fountain":
+        cfg = SCENES[args.scene](args.grid or 20,
+                                 particle_count=args.particles).replace(
+            jacobi_iters=args.jacobi_iters)
+        if args.surface_resolution:
+            cfg = cfg.replace(
+                surface_render_resolution=args.surface_resolution)
+    elif args.grid:
         cfg = FluidConfig.scaled_scene(
             args.grid, particle_count=args.particles,
             jacobi_iters=args.jacobi_iters,

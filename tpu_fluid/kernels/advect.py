@@ -97,6 +97,129 @@ def _advect_component_kernel(prev_ref, cur_ref, next_ref, u_ref, cond_ref,
     out_ref[...] = jnp.where(cond_ref[...] != 0, acc, old_ref[...])
 
 
+def _advect_all_kernel(prev_ref, cur_ref, next_ref, cond_ref, out_ref, *,
+                       r, tx, shape, dt):
+    """All 3 staggered components in one program; the face-center velocity
+    (the first, grid-aligned sample of `advect.comp:74-78`) is computed
+    in-register from the same assembled slabs instead of materializing the
+    9 displacement fields in HBM."""
+    gx, gy, gz = shape
+    i = pl.program_id(0)
+
+    # --- assemble (3, TX+2R, Y+2R, Z+2R) with x halo + y/z edge pads ------
+    a = jnp.concatenate(
+        [prev_ref[:, tx - r:], cur_ref[...], next_ref[:, :r]], axis=1)
+    a = jnp.concatenate(
+        [jnp.repeat(a[:, :, :1], r, axis=2), a,
+         jnp.repeat(a[:, :, -1:], r, axis=2)], axis=2)
+    # z handled by materialized pre-shifted variants (concat forces one
+    # lane-roll each; repeated lane-offset slices of a padded array would
+    # relayout on every one of the 375 MAC terms)
+    zvs = []
+    for c in range(3):
+        ac = a[c]                                  # (TX+2R, Y+2R, Z)
+        row = []
+        for dz in range(-r, r + 1):
+            if dz < 0:
+                row.append(jnp.concatenate(
+                    [jnp.repeat(ac[..., :1], -dz, axis=-1),
+                     ac[..., :gz + dz]], axis=-1))
+            elif dz > 0:
+                row.append(jnp.concatenate(
+                    [ac[..., dz:], jnp.repeat(ac[..., -1:], dz, axis=-1)],
+                    axis=-1))
+            else:
+                row.append(ac)
+        zvs.append(row)
+
+    def sl(c, dx, dy, dz):
+        return zvs[c][dz + r][r + dx:r + dx + tx, r + dy:r + dy + gy, :]
+
+    x = (i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 0)
+         ).astype(jnp.float32)
+    y = jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 1).astype(
+        jnp.float32)
+    z = jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 2).astype(
+        jnp.float32)
+    coords = (x, y, z)
+    dims = (gx, gy, gz)
+
+    outs = []
+    for c in range(3):
+        # face-center velocity of component c's faces: own comp = stored
+        # value; others = 4-point average over {i_c-1, i_c} x {i_c', i_c'+1}
+        vface = []
+        for cp in range(3):
+            if cp == c:
+                vface.append(sl(c, 0, 0, 0))
+                continue
+            acc = None
+            for dc in (-1, 0):
+                for dcp in (0, 1):
+                    off = [0, 0, 0]
+                    off[c] = dc
+                    off[cp] = dcp
+                    t = sl(cp, *off)
+                    acc = t if acc is None else acc + t
+            vface.append(0.25 * acc)
+
+        # displacement, clamped offsets + fractions
+        os_, fs = [], []
+        for d in range(3):
+            u_d = jnp.clip(-vface[d] * dt, -r, r - 1e-4)
+            t_d = jnp.clip(coords[d] + u_d, 0.0, dims[d] - 1.0)
+            u_d = t_d - coords[d]
+            o_d = jnp.floor(u_d)
+            os_.append(o_d)
+            fs.append(u_d - o_d)
+
+        def w(d, delta):
+            return ((os_[d] == delta) * (1.0 - fs[d])
+                    + (os_[d] == delta - 1) * fs[d])
+
+        acc = jnp.zeros((tx, gy, gz), dtype=out_ref.dtype)
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                wxy = w(0, dx) * w(1, dy)
+                for dz in range(-r, r + 1):
+                    acc = acc + (wxy * w(2, dz)) * sl(c, dx, dy, dz)
+        outs.append(jnp.where(cond_ref[c] != 0, acc, sl(c, 0, 0, 0)))
+    out_ref[...] = jnp.stack(outs, axis=0)
+
+
+def advect_all_pallas(vel: jnp.ndarray, cond3: jnp.ndarray, r: int,
+                      dt: float, tx: int = 4) -> jnp.ndarray:
+    """vel: (3, X, Y, Z); cond3: (3, X, Y, Z) uint8 advection masks.
+    Returns the fully advected velocity in one kernel."""
+    _, gx, gy, gz = vel.shape
+    if gx % tx != 0:
+        tx = next(t for t in range(min(tx, gx), 0, -1) if gx % t == 0)
+    if tx < r:
+        raise ValueError(f"slab size {tx} must be >= halo {r}")
+    grid = (gx // tx,)
+    vx = jnp.pad(vel, ((0, 0), (tx, tx), (0, 0), (0, 0)), mode="edge")
+
+    kernel = functools.partial(_advect_all_kernel, r=r, tx=tx,
+                               shape=(gx, gy, gz), dt=dt)
+    slab = lambda off: pl.BlockSpec(            # noqa: E731
+        (3, tx, gy, gz), lambda i, o=off: (0, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            slab(0), slab(1), slab(2),
+            pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, gx, gy, gz), vel.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(vx, vx, vx, cond3)
+
+
 def advect_component_pallas(v: jnp.ndarray, u: jnp.ndarray,
                             cond: jnp.ndarray, r: int,
                             tx: int = 4) -> jnp.ndarray:

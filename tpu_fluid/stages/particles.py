@@ -41,10 +41,12 @@ def detailed_occupancy(positions: jnp.ndarray, active: jnp.ndarray,
     x, y, z = idx[..., 0], idx[..., 1], idx[..., 2]
     inb = ((x >= 0) & (x < dx) & (y >= 0) & (y < dy) & (z >= 0) & (z < dz)
            & active)
-    flat = jnp.where(inb, x * (dy * dz) + y * dz + z, 0)
-    occ = jnp.zeros((dx * dy * dz,), dtype=jnp.uint8)
-    occ = occ.at[flat].max(inb.astype(jnp.uint8))
-    return occ.reshape(dx, dy, dz)
+    # scatter-SET of the constant 1 with OOB-drop routing: measured fastest
+    # scatter form on TPU (no read-modify-write); int32 beats uint8
+    flat = jnp.where(inb, x * (dy * dz) + y * dz + z, dx * dy * dz)
+    occ = jnp.zeros((dx * dy * dz,), dtype=jnp.int32)
+    occ = occ.at[flat].set(1, mode="drop")
+    return occ.reshape(dx, dy, dz).astype(jnp.uint8)
 
 
 def occupancy_to_sim_grid(occ: jnp.ndarray, cfg: FluidConfig) -> jnp.ndarray:

@@ -144,16 +144,13 @@ def advect(types: jnp.ndarray, vel: jnp.ndarray,
 
 def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
                   cfg: FluidConfig) -> jnp.ndarray:
-    """Stage 07 via the Pallas slab kernel (kernels/advect.py); same
-    semantics as advect_shift."""
-    from tpu_fluid.kernels.advect import advect_component_pallas
-    r = cfg.advect_max_displacement
-    out = []
-    for c in range(3):
-        cond = _advect_condition(types, c)
-        u = -face_center_velocity(vel, c) * cfg.dt
-        out.append(advect_component_pallas(vel[c], u, cond, r))
-    return jnp.stack(out)
+    """Stage 07 via the fused Pallas slab kernel (kernels/advect.py, all 3
+    components + in-register face-center velocities); same semantics as
+    advect_shift."""
+    from tpu_fluid.kernels.advect import advect_all_pallas
+    cond3 = jnp.stack([_advect_condition(types, c) for c in range(3)]
+                      ).astype(jnp.uint8)
+    return advect_all_pallas(vel, cond3, cfg.advect_max_displacement, cfg.dt)
 
 
 def advect_shift(types: jnp.ndarray, vel: jnp.ndarray,
