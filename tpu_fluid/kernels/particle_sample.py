@@ -27,7 +27,11 @@ from tpu_fluid.ops.packed_sampler import _OTHER, _lane
 def _sample_update_kernel(rows_ref, pos_ref, act_ref, out_ref, *,
                           grid_size, dt):
     pos = pos_ref[...]                        # (3, PB)
-    rows = rows_ref                           # (64, PB) ref, lane-major
+    # Mosaic's VMEM value transpose is a bitwise-exact data-movement op
+    # (verified by test; only MXU matmuls round f32 to bf16), so the rows
+    # arrive in natural gather layout and flip to lane-major here instead of
+    # paying a 512 MB XLA transpose.
+    rows = rows_ref[...].T                    # (64, PB)
     shape = grid_size
 
     jf = [jnp.clip(jnp.floor(pos[d]), 0.0, shape[d] - 1.0) for d in range(3)]
@@ -63,16 +67,16 @@ def _sample_update_kernel(rows_ref, pos_ref, act_ref, out_ref, *,
         out_ref[d] = pos[d] + jnp.where(act > 0.5, vel[d] * dt, 0.0)
 
 
-def sample_and_move(rows_t: jnp.ndarray, pos_t: jnp.ndarray,
+def sample_and_move(rows: jnp.ndarray, pos_t: jnp.ndarray,
                     active: jnp.ndarray, grid_size, dt: float,
                     pb: int = 8192) -> jnp.ndarray:
-    """rows_t: (64, P) gathered packed rows, transposed in XLA (an in-kernel
-    transpose routes through the MXU in bf16 and loses ~3 digits); pos_t:
-    (3, P); active: (P,).  Returns new positions (3, P)."""
+    """rows: (P, 64) gathered packed rows (natural gather layout; the flip
+    to lane-major happens in VMEM); pos_t: (3, P); active: (P,).
+    Returns new positions (3, P)."""
     p = pos_t.shape[1]
     padded = (p + pb - 1) // pb * pb
     if padded != p:
-        rows_t = jnp.pad(rows_t, ((0, 0), (0, padded - p)))
+        rows = jnp.pad(rows, ((0, padded - p), (0, 0)))
         pos_t = jnp.pad(pos_t, ((0, 0), (0, padded - p)))
         active = jnp.pad(active, (0, padded - p))
     grid = (padded // pb,)
@@ -83,7 +87,7 @@ def sample_and_move(rows_t: jnp.ndarray, pos_t: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((64, pb), lambda i: (0, i),
+            pl.BlockSpec((pb, 64), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -95,5 +99,5 @@ def sample_and_move(rows_t: jnp.ndarray, pos_t: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((3, padded), pos_t.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rows_t, pos_t, active.astype(pos_t.dtype).reshape(1, -1))
+    )(rows, pos_t, active.astype(pos_t.dtype).reshape(1, -1))
     return out[:, :p]

@@ -92,7 +92,7 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
             table = build_packed_table_pallas(vel)
             rows = jnp.take(table, packed_row_indices(positions,
                                                       cfg.grid_size), axis=0)
-            new_t = sample_and_move(rows.T, positions.T, active,
+            new_t = sample_and_move(rows, positions.T, active,
                                     cfg.grid_size, cfg.dt)
             return new_t.T
         table = build_packed_table(vel)
