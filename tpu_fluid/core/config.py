@@ -46,6 +46,12 @@ class FluidConfig:
     fountain_position: Tuple[int, int, int] | None = None  # default: derived
     fountain_force: float = -3000.0
     solid_repel_velocity: float = 0.01
+    # Static solid obstacles as cell-index AABBs ((x0,y0,z0),(x1,y1,z1)),
+    # end-exclusive, marked SOLID during cell typing each frame.  The
+    # reference hints at this with a commented-out ramp obstacle in its
+    # border shader (`03_update_air/update_active.comp:50`).
+    solid_boxes: Tuple[Tuple[Tuple[int, int, int],
+                             Tuple[int, int, int]], ...] = ()
 
     # --- surface (detailed grid) ---------------------------------------------
     # simulation_constants.h:36,112-127

@@ -56,6 +56,16 @@ def write_ply(path: str, tris) -> None:
             f.write(f"3 {3*i} {3*i+1} {3*i+2}\n")
 
 
+def write_gif(path: str, frames, fps: int = 20) -> None:
+    """Assemble (H, W, 3) uint8 frames into an animated GIF — the headless
+    counterpart of the reference's real-time window."""
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [Image.fromarray(np.asarray(f), mode="RGB") for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(1, 1000 // fps), loop=0)
+
+
 def write_particles_csv(path: str, positions, active) -> None:
     pos = np.asarray(positions)[np.asarray(active)]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -66,10 +66,21 @@ def splat_color(color_buf, depth_buf, px, py, depth, color, valid,
     return color_buf.at[idx].max(packed)
 
 
+def _bary_lattice(subdiv: int) -> np.ndarray:
+    """Barycentric sample lattice: all (i,j,k)/S with i+j+k = S —
+    (S+1)(S+2)/2 points covering the triangle evenly."""
+    pts = []
+    for i in range(subdiv + 1):
+        for j in range(subdiv + 1 - i):
+            k = subdiv - i - j
+            pts.append((i / subdiv, j / subdiv, k / subdiv))
+    return np.array(pts, dtype=np.float32)
+
+
 def render_particles_and_surface(positions, active, tris, tri_normals,
                                  tri_valid, mvp, cfg: FluidConfig,
                                  width: int = 1024, height: int = 1024,
-                                 samples_per_tri: int = 6,
+                                 surface_subdiv: int = 3,
                                  particle_radius: int = 1):
     """Full frame: surface triangles (dense sample splat) + particles.
 
@@ -92,12 +103,8 @@ def render_particles_and_surface(positions, active, tris, tri_normals,
         dif = jnp.asarray(cfg.render_surface_diffuse_color)
         tri_color = amb[None, :] + lam[:, None] * dif[None, :]   # (T, 3)
 
-        # fixed barycentric sample pattern (vertices + edge mids + centroid)
-        bary = np.array([
-            [1, 0, 0], [0, 1, 0], [0, 0, 1],
-            [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
-            [1 / 3, 1 / 3, 1 / 3],
-        ], dtype=np.float32)[:samples_per_tri + 1]
+        # fixed barycentric sample lattice covering each triangle evenly
+        bary = _bary_lattice(surface_subdiv)
         pts = jnp.einsum("sk,tkd->tsd", jnp.asarray(bary), tris)
         pts = pts.reshape(-1, 3)
         px, py, d, front = project(mvp, pts, w, h)

@@ -38,7 +38,7 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     # pipeline only consumes density > 0 — see stages/particles.py).
     occ_sim = particles.occupancy_to_sim_grid(state.detailed_occ, cfg)
     new_types = celltypes.update_water(occ_sim)
-    new_types = celltypes.update_air(new_types)
+    new_types = celltypes.update_air(new_types, cfg)
 
     # 04-05: velocity extrapolation into newly-active faces
     extrapolated = vstages.compute_extrapolated_velocities(old_types, vel)

@@ -20,9 +20,27 @@ def update_water(densities: jnp.ndarray) -> jnp.ndarray:
                      jnp.uint8(CellType.INACTIVE))
 
 
-def update_air(types: jnp.ndarray) -> jnp.ndarray:
-    """Stage 03: domain border cells become SOLID; non-water interior cells
-    with >=1 of 6 neighbors WATER become AIR (`update_active.comp:45-66`).
+def solid_mask(shape, cfg=None) -> jnp.ndarray:
+    """Static solid cells: the domain border (`update_active.comp:49-52`)
+    plus any configured obstacle boxes (the reference's commented-out ramp,
+    `update_active.comp:50`, generalized)."""
+    gx, gy, gz = shape
+    ix = jnp.arange(gx)[:, None, None]
+    iy = jnp.arange(gy)[None, :, None]
+    iz = jnp.arange(gz)[None, None, :]
+    mask = ((ix == 0) | (ix == gx - 1) | (iy == 0) | (iy == gy - 1)
+            | (iz == 0) | (iz == gz - 1))
+    if cfg is not None:
+        for (x0, y0, z0), (x1, y1, z1) in cfg.solid_boxes:
+            mask = mask | ((ix >= x0) & (ix < x1) & (iy >= y0) & (iy < y1)
+                           & (iz >= z0) & (iz < z1))
+    return mask
+
+
+def update_air(types: jnp.ndarray, cfg=None) -> jnp.ndarray:
+    """Stage 03: static solid cells (border + obstacles) become SOLID;
+    non-water interior cells with >=1 of 6 neighbors WATER become AIR
+    (`update_active.comp:45-66`).
 
     The reference runs this in-place over one image, so neighbor reads race
     with border-solid writes; we resolve the race deterministically by reading
@@ -30,12 +48,7 @@ def update_air(types: jnp.ndarray) -> jnp.ndarray:
     SOLID here was never WATER anyway except at the border, where the result
     is overridden to SOLID regardless).
     """
-    gx, gy, gz = types.shape
-    ix = jnp.arange(gx)[:, None, None]
-    iy = jnp.arange(gy)[None, :, None]
-    iz = jnp.arange(gz)[None, None, :]
-    border = ((ix == 0) | (ix == gx - 1) | (iy == 0) | (iy == gy - 1)
-              | (iz == 0) | (iz == gz - 1))
+    solid = solid_mask(types.shape, cfg)
 
     water = types == CellType.WATER
     water_around = jnp.zeros_like(water)
@@ -44,7 +57,7 @@ def update_air(types: jnp.ndarray) -> jnp.ndarray:
 
     air = (~water) & water_around
     out = jnp.where(air, jnp.uint8(CellType.AIR), types)
-    return jnp.where(border, jnp.uint8(CellType.SOLID), out)
+    return jnp.where(solid, jnp.uint8(CellType.SOLID), out)
 
 
 def commit_cell_types(new_types: jnp.ndarray) -> jnp.ndarray:
