@@ -192,6 +192,9 @@ def advect_all_pallas(vel: jnp.ndarray, cond3: jnp.ndarray, r: int,
     """vel: (3, X, Y, Z); cond3: (3, X, Y, Z) uint8 advection masks.
     Returns the fully advected velocity in one kernel."""
     _, gx, gy, gz = vel.shape
+    # the unrolled (2R+1)^3 MAC holds O(hundreds) of (tx, Y, Z) temporaries;
+    # shrink the slab on large Y*Z planes to stay inside VMEM
+    tx = max(r, min(tx, max(1, 131072 // (gy * gz))))
     if gx % tx != 0:
         tx = next(t for t in range(min(tx, gx), 0, -1) if gx % t == 0)
     if tx < r:

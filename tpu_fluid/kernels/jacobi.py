@@ -86,6 +86,8 @@ def jacobi_sweeps_pallas(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
                          k: int = 8, tx: int = 16) -> jnp.ndarray:
     """Run n_iters Jacobi sweeps; K per Pallas pass."""
     gx, gy, gz = p.shape
+    # cap the slab so the K-sweep working set stays in VMEM on large planes
+    tx = max(1, min(tx, max(1, 262144 // (gy * gz))))
     if gx % tx != 0:
         tx = next(t for t in range(min(tx, gx), 0, -1) if gx % t == 0)
     k = min(k, tx)

@@ -147,10 +147,22 @@ def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
     """Stage 07 via the fused Pallas slab kernel (kernels/advect.py, all 3
     components + in-register face-center velocities); same semantics as
     advect_shift."""
-    from tpu_fluid.kernels.advect import advect_all_pallas
-    cond3 = jnp.stack([_advect_condition(types, c) for c in range(3)]
-                      ).astype(jnp.uint8)
-    return advect_all_pallas(vel, cond3, cfg.advect_max_displacement, cfg.dt)
+    from tpu_fluid.kernels.advect import (advect_all_pallas,
+                                          advect_component_pallas)
+    r = cfg.advect_max_displacement
+    _, gx, gy, gz = vel.shape
+    if gy * gz <= 128 * 128:
+        cond3 = jnp.stack([_advect_condition(types, c) for c in range(3)]
+                          ).astype(jnp.uint8)
+        return advect_all_pallas(vel, cond3, r, cfg.dt)
+    # large y*z planes: the fused kernel's unrolled MAC tree spills VMEM;
+    # run one component per kernel (1/3 of the live set) instead
+    out = []
+    for c in range(3):
+        cond = _advect_condition(types, c)
+        u = -face_center_velocity(vel, c) * cfg.dt
+        out.append(advect_component_pallas(vel[c], u, cond, r, tx=2))
+    return jnp.stack(out)
 
 
 def advect_shift(types: jnp.ndarray, vel: jnp.ndarray,
