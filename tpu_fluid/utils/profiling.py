@@ -73,9 +73,9 @@ def stage_breakdown(cfg: FluidConfig, n: int = 10,
     def dep(x, s):
         return x + 1e-30 * s
 
-    out["01 histogram (sim)"] = time_chained(
-        lambda p: dep(p, particles.particle_densities(p, act, cfg).sum()),
-        pos, n=n)
+    out["01+15 occupancy scatter"] = time_chained(
+        lambda p: dep(p, particles.detailed_occupancy(p, act, cfg)
+                      .astype(jnp.int32).sum()), pos, n=n)
     out["02+03 cell typing"] = time_chained(
         lambda t: celltypes.update_air(celltypes.update_water(
             t.astype(jnp.int32))), types, n=n)
@@ -97,10 +97,6 @@ def stage_breakdown(cfg: FluidConfig, n: int = 10,
         lambda v: pressure.pressure_project(types, div, v, cfg), vel, n=n)
     out["14 move particles"] = time_chained(
         lambda p: particles.move_particles(vel, p, act, cfg), pos, n=n)
-    out["15 histogram (detail)"] = time_chained(
-        lambda p: dep(p, particles.detailed_densities(p, act, cfg).sum()),
-        pos, n=n)
-
     def surf(f1):
         dd = (f1 > 0).astype(jnp.int32)
         inertia = surface_fields.update_inertia(dd, state.inertia, cfg)
