@@ -1,0 +1,37 @@
+"""Long-horizon robustness: 400 steps of the fountain scene stay finite,
+contained, and invariant-respecting (the reference documents volume drift as
+a known issue, README.md:148-150 — we assert stability, not exact volume)."""
+
+import numpy as np
+import jax
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.state import initial_state
+from tpu_fluid.core.types import CellType
+from tpu_fluid.solver.step import jit_multi_step
+
+
+def test_400_steps_stable():
+    cfg = FluidConfig(
+        grid_size=(12, 12, 12),
+        particle_count=4000,
+        particle_init_cube_resolution=(16, 16, 16),
+        particle_init_cube_offset=(3.0, 1.5, 3.0),
+        particle_init_cube_size=(6.0, 6.0, 4.0),
+        surface_render_resolution=2,
+        jacobi_iters=50,
+        fountain_force=-600.0,
+    )
+    state = initial_state(cfg)
+    for _ in range(4):
+        state = jit_multi_step(state, cfg, 100)
+        leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
+        for leaf in leaves:
+            if leaf.dtype.kind == "f":
+                assert np.isfinite(leaf).all(), "NaN/Inf in state"
+        pos = np.asarray(state.positions)[np.asarray(state.active)]
+        assert pos.min() > 0.0 and pos.max() < 12.0, "particle escaped"
+        t = np.asarray(state.cell_types)
+        assert (t[0] == CellType.SOLID).all()
+    assert int(state.step) == 400
+    assert int(state.active.sum()) == 4000

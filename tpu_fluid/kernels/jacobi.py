@@ -98,8 +98,7 @@ def jacobi_sweeps_pallas(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
         # out-of-domain rows are masked inside the kernel
         return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)), mode="edge")
 
-    kern = functools.partial(_jacobi_kernel, k=k, tx=tx, shape=(gx, gy, gz))
-    slab = lambda off, : pl.BlockSpec(          # noqa: E731
+    slab = lambda off: pl.BlockSpec(            # noqa: E731
         (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
         memory_space=pltpu.VMEM)
 

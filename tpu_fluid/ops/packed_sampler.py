@@ -23,7 +23,6 @@ sampler contract (fluid_flow_sections.h:94-95, 07_advect/advect.comp:37-59).
 from __future__ import annotations
 
 import jax
-import numpy as np
 import jax.numpy as jnp
 
 LANES = 64
@@ -88,24 +87,6 @@ def build_packed_table(vel: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dot_general(stacked, eye, (((0,), (0,)), ((), ())),
                                preferred_element_type=stacked.dtype,
                                precision=jax.lax.Precision.HIGHEST)
-
-
-def _axis_weights_np(dtype=np.float32):
-    """Static lane -> (component, axis-roles) bookkeeping as numpy masks."""
-    # For each lane, which (c, dc, d1, d2) it encodes.
-    meta = np.zeros((LANES, 4), dtype=np.int32)
-    used = np.zeros((LANES,), dtype=bool)
-    for c in range(3):
-        for dc in (0, 1):
-            for d1 in (-1, 0, 1):
-                for d2 in (-1, 0, 1):
-                    ln = _lane(c, dc, d1, d2)
-                    meta[ln] = (c, dc, d1, d2)
-                    used[ln] = True
-    return meta, used
-
-
-_META, _USED = _axis_weights_np()
 
 
 def packed_row_indices(pos: jnp.ndarray, grid_size) -> jnp.ndarray:

@@ -7,6 +7,7 @@ update_detailed_densities.comp`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpu_fluid.core.config import FluidConfig
@@ -78,8 +79,6 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
     from a precomputed per-cell neighborhood table instead of 24 scalar
     gathers (~30x faster on TPU; see ops/packed_sampler.py).
     """
-    import jax
-
     if cfg.particle_sampler == "packed":
         from tpu_fluid.ops.packed_sampler import (build_packed_table,
                                                   packed_row_indices,
