@@ -52,10 +52,14 @@ def detailed_occupancy(positions: jnp.ndarray, active: jnp.ndarray,
 
 def occupancy_to_sim_grid(occ: jnp.ndarray, cfg: FluidConfig) -> jnp.ndarray:
     """Sim-grid occupancy = block-OR (max-pool) of detailed occupancy over
-    each res^3 block."""
+    each res^3 block.
+
+    Implemented with reduce_window: the reshape-to-(gx,r,gy,r,gz,r) form
+    makes XLA materialize minor-dim-r intermediates padded to full tiles
+    (measured 2.2 GB of traffic at 256^3 detailed for r=2)."""
     r = cfg.surface_render_resolution
-    gx, gy, gz = cfg.grid_size
-    return occ.reshape(gx, r, gy, r, gz, r).max(axis=(1, 3, 5))
+    return jax.lax.reduce_window(occ, jnp.uint8(0), jax.lax.max,
+                                 (r, r, r), (r, r, r), "VALID")
 
 
 def detailed_densities(positions: jnp.ndarray, active: jnp.ndarray,
