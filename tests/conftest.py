@@ -4,7 +4,11 @@ before any jax import happens."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"   # override even if the env says TPU
+if os.environ.get("TPU_FLUID_TPU_TESTS"):
+    # run against real hardware (tests/tpu); leave the platform alone
+    import jax  # noqa: F401
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override even if the env says TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +19,5 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # var); force CPU through the config API before any backend initializes.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("TPU_FLUID_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
