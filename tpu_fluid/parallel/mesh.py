@@ -28,6 +28,13 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     pads on sharded dims are unimplemented — Auto restores GSPMD)."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} device(s) are visible "
+                f"({[d.platform for d in devs]}); for a virtual CPU mesh "
+                f"set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N")
         devs = devs[:n_devices]
     return jax.make_mesh((len(devs),), (AXIS,), devices=devs,
                          axis_types=(AxisType.Auto,))
