@@ -89,3 +89,18 @@ def test_pallas_table_bitwise_matches_xla():
     a = np.asarray(jax.jit(build_packed_table)(vel))
     b = np.asarray(jax.jit(build_packed_table_pallas)(vel))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_advect_large_plane_fallback():
+    """gy*gz > 128^2 routes to the per-component kernel; same semantics."""
+    from tpu_fluid.stages import velocity as vstages
+    nx, ny, nz = 8, 144, 144
+    cfg = FluidConfig(grid_size=(nx, ny, nz))
+    key = jax.random.PRNGKey(7)
+    t = jnp.where(jax.random.uniform(key, (nx, ny, nz)) < 0.3,
+                  jnp.uint8(CellType.WATER), jnp.uint8(CellType.INACTIVE))
+    vel = 3.0 * jax.random.normal(key, (3, nx, ny, nz), dtype=jnp.float32)
+    fast = jax.jit(lambda tt, v: vstages.advect_pallas(tt, v, cfg))(t, vel)
+    ref = jax.jit(lambda tt, v: vstages.advect_shift(tt, v, cfg))(t, vel)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
