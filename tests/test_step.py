@@ -132,3 +132,19 @@ def test_fountain_erupts():
     # the fountain column
     vy = np.asarray(state.velocity[1])
     assert vy[fx, :fy + 1, fz].min() < -0.5
+
+
+def test_sim_only_mode():
+    """surface_enabled=False skips stages 16-18 but keeps classification
+    (BASELINE config: 'sim-only ... no surface')."""
+    cfg = CFG.replace(surface_enabled=False)
+    state = initial_state(cfg)
+    step = jax.jit(simulation_step, static_argnums=1)
+    for _ in range(5):
+        state = step(state, cfg)
+    assert int(state.step) == 5
+    assert (np.asarray(state.inertia) == 0).all()          # never updated
+    assert (np.asarray(state.cell_types) == CellType.WATER).any()
+    # particles still move and stay contained
+    pos = np.asarray(state.positions)[np.asarray(state.active)]
+    assert pos.min() > 0 and pos.max() < 12

@@ -64,6 +64,9 @@ class FluidConfig:
     float_density_division_coefficient: float = 30.0
     float_density_diffuse_coefficient: float = 0.1
     float_density_diffuse_steps: int = 4
+    # False skips the surface-field stages 16-18 entirely (sim-only mode);
+    # particle occupancy is still maintained (it drives cell typing)
+    surface_enabled: bool = True
 
     # --- faithfulness switches ------------------------------------------------
     # The reference's diffusion stage (09_diffuse/diffuse.comp:40) assigns the

@@ -65,10 +65,14 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     # 15-18: surface field update (occupancy scatter on the moved particles;
     # also consumed by the next frame's stage 01)
     occ = particles.detailed_occupancy(pos, state.active, cfg)
-    inertia = surface_fields.update_inertia(occ, state.inertia, cfg)
-    f1 = surface_fields.float_densities(inertia, cfg)
-    f1, f2 = surface_fields.blur_float_densities(types, f1,
-                                                 state.float_dens_2, cfg)
+    if cfg.surface_enabled:
+        inertia = surface_fields.update_inertia(occ, state.inertia, cfg)
+        f1 = surface_fields.float_densities(inertia, cfg)
+        f1, f2 = surface_fields.blur_float_densities(types, f1,
+                                                     state.float_dens_2, cfg)
+    else:  # sim-only mode: surface stages skipped
+        inertia, f1, f2 = state.inertia, state.float_dens_1, \
+            state.float_dens_2
 
     return FluidState(
         velocity=vel,
