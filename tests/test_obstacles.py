@@ -47,3 +47,25 @@ def test_particles_do_not_enter_obstacle():
                 & (pos[:, 1] > 7.0) & (pos[:, 1] < 9.0)
                 & (pos[:, 2] > 4) & (pos[:, 2] < 10))
     assert on_shelf.sum() > 0
+
+
+def test_extra_forces():
+    """Configurable side-jet force accelerates wet cells along +x."""
+    import jax.numpy as jnp
+    from tpu_fluid.stages import velocity as vstages
+    cfg = CFG.replace(extra_forces=(((7, 5, 7), (500.0, 0.0, 0.0)),),
+                      solid_boxes=())
+    # make the jet cell wet
+    state = initial_state(cfg)
+    step = jax.jit(simulation_step, static_argnums=1)
+    s = step(state, cfg)
+    t = np.asarray(s.cell_types)
+    if t[7, 5, 7] == CellType.WATER or t[6, 5, 7] == CellType.WATER:
+        vx = np.asarray(s.velocity[0])
+        assert vx[7, 5, 7] > 1.0
+    # direct unit check regardless of scene wetness
+    types = jnp.full(cfg.grid_size, CellType.WATER, jnp.uint8)
+    vel = jnp.zeros((3,) + cfg.grid_size, jnp.float32)
+    out = vstages.apply_forces(types, vel, cfg)
+    assert float(out[0, 7, 5, 7]) == 500.0 * cfg.dt
+    assert float(out[0, 7, 5, 8]) == 0.0

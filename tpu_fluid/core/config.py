@@ -52,6 +52,12 @@ class FluidConfig:
     # border shader (`03_update_air/update_active.comp:50`).
     solid_boxes: Tuple[Tuple[Tuple[int, int, int],
                              Tuple[int, int, int]], ...] = ()
+    # Extra constant forces: ((cell_x, cell_y, cell_z), (fx, fy, fz)) pairs
+    # applied like the fountain (only to wet faces).  Generalizes the
+    # reference's single hardcoded fountain — its README lists
+    # "specify forces dynamically" as unimplemented future work.
+    extra_forces: Tuple[Tuple[Tuple[int, int, int],
+                              Tuple[float, float, float]], ...] = ()
 
     # --- surface (detailed grid) ---------------------------------------------
     # simulation_constants.h:36,112-127

@@ -239,8 +239,21 @@ def apply_forces(types: jnp.ndarray, vel: jnp.ndarray,
     fountain = jnp.zeros(types.shape, dtype=bool).at[fx, fy, fz].set(True)
     force = force + jnp.where(fountain & wet_face, cfg.fountain_force,
                               0.0).astype(vel.dtype)
+    out = vel.at[1].add(cfg.dt * force)
 
-    return vel.at[1].add(cfg.dt * force)
+    # configurable extra cell forces (generalized fountains): component c
+    # applies where the face is wet, i.e. cell or lower-c neighbor is WATER
+    for (cx, cy, cz), fvec in cfg.extra_forces:
+        cell = jnp.zeros(types.shape, dtype=bool).at[cx, cy, cz].set(True)
+        for c in range(3):
+            if fvec[c] == 0.0:
+                continue
+            mv = tuple(-1 if k == c else 0 for k in range(3))
+            wet_c = water | shifted(water, mv, fill=False)
+            out = out.at[c].add(
+                jnp.where(cell & wet_c, cfg.dt * fvec[c], 0.0
+                          ).astype(vel.dtype))
+    return out
 
 
 def diffuse(types: jnp.ndarray, vel: jnp.ndarray,
