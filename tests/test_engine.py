@@ -118,3 +118,15 @@ def test_cli_smoke(tmp_path):
     rc = main(["--resume", os.path.join(out, "checkpoint.npz"),
                "--steps", "2", "--out", out])
     assert rc == 0
+
+
+def test_cli_nested_config_overrides(tmp_path):
+    """JSON list overrides must deep-convert to tuples (config is a jit
+    static arg and must stay hashable)."""
+    from tpu_fluid.cli import main
+    out = str(tmp_path / "o")
+    rc = main(["--grid", "12", "--particles", "1000", "--jacobi-iters", "10",
+               "--steps", "2", "--out", out,
+               "--set", "solid_boxes=[[[4,4,4],[8,6,8]]]",
+               "--set", "extra_forces=[[[6,9,6],[0,-100,0]]]"])
+    assert rc == 0

@@ -89,6 +89,13 @@ def config_from_args(args):
         k, v = kv.split("=", 1)
         overrides[k] = v
     if overrides:
+        def deep_tuple(x):
+            # the config must stay hashable (it is a jit static arg), so
+            # JSON lists become tuples at every nesting level
+            if isinstance(x, list):
+                return tuple(deep_tuple(e) for e in x)
+            return x
+
         fields = {f.name: f.type for f in dataclasses.fields(cfg)}
         clean = {}
         for k, v in overrides.items():
@@ -103,9 +110,9 @@ def config_from_args(args):
                 elif isinstance(cur, float):
                     v = float(v)
                 elif isinstance(cur, tuple) or cur is None:
-                    v = tuple(json.loads(v)) if v.startswith("[") else v
-            elif isinstance(v, list):
-                v = tuple(v)
+                    v = deep_tuple(json.loads(v)) if v.startswith("[") else v
+            else:
+                v = deep_tuple(v)
             clean[k] = v
         cfg = cfg.replace(**clean)
     return cfg
