@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tpu-fluid",
         description="TPU-native MAC-grid fluid simulation")
     p.add_argument("--scene", type=str, default="fountain",
-                   choices=("fountain", "dam_break", "drop"),
+                   choices=("fountain", "dam_break", "drop",
+                            "dam_break_obstacle"),
                    help="scene preset (reference has only 'fountain')")
     p.add_argument("--grid", type=int, default=None,
                    help="cubic grid size (uses the scaled reference scene); "
@@ -89,12 +90,7 @@ def config_from_args(args):
         k, v = kv.split("=", 1)
         overrides[k] = v
     if overrides:
-        def deep_tuple(x):
-            # the config must stay hashable (it is a jit static arg), so
-            # JSON lists become tuples at every nesting level
-            if isinstance(x, list):
-                return tuple(deep_tuple(e) for e in x)
-            return x
+        from tpu_fluid.core.config import deep_tuple
 
         fields = {f.name: f.type for f in dataclasses.fields(cfg)}
         clean = {}
@@ -103,16 +99,33 @@ def config_from_args(args):
                 raise SystemExit(f"unknown config field: {k}")
             cur = getattr(cfg, k)
             if isinstance(v, str):
-                if isinstance(cur, bool):
-                    v = v.lower() in ("1", "true", "yes")
-                elif isinstance(cur, int):
-                    v = int(v)
-                elif isinstance(cur, float):
-                    v = float(v)
-                elif isinstance(cur, tuple) or cur is None:
-                    v = deep_tuple(json.loads(v)) if v.startswith("[") else v
+                try:
+                    if isinstance(cur, bool):
+                        if v.lower() not in ("1", "true", "yes",
+                                             "0", "false", "no"):
+                            raise ValueError(f"not a boolean: {v!r}")
+                        v = v.lower() in ("1", "true", "yes")
+                    elif isinstance(cur, int):
+                        v = int(v)
+                    elif isinstance(cur, float):
+                        v = float(v)
+                    elif isinstance(cur, tuple) or cur is None:
+                        # tuple-valued fields accept JSON ([12,18,12]) or
+                        # bare comma lists (12,18,12); anything else is a
+                        # parse-time error, not a later jit failure
+                        if v.startswith(("[", "(")):
+                            v = deep_tuple(json.loads(v.replace("(", "[")
+                                                      .replace(")", "]")))
+                        elif "," in v:
+                            v = deep_tuple(json.loads(f"[{v}]"))
+                        else:
+                            raise ValueError(
+                                f"field {k} is tuple-valued; pass JSON "
+                                f"(e.g. [1,2,3]) or a comma list (1,2,3)")
+                except ValueError as e:
+                    raise SystemExit(f"bad value for --set {k}={v}: {e}")
             else:
-                v = deep_tuple(v)
+                v = deep_tuple(v) if isinstance(v, list) else v
             clean[k] = v
         cfg = cfg.replace(**clean)
     return cfg

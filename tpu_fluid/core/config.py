@@ -19,6 +19,18 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def deep_tuple(x):
+    """Recursively convert lists to tuples at every nesting level.
+
+    The config must stay hashable (it is a jit static argument), but JSON
+    round-trips (CLI --config/--set, checkpoint metadata) turn nested tuples
+    like `solid_boxes` / `extra_forces` into nested lists.
+    """
+    if isinstance(x, (list, tuple)):
+        return tuple(deep_tuple(e) for e in x)
+    return x
+
+
 @dataclasses.dataclass(frozen=True)
 class FluidConfig:
     # --- grid -------------------------------------------------------------
@@ -33,6 +45,15 @@ class FluidConfig:
     particle_init_cube_resolution: Tuple[int, int, int] = (100, 100, 100)
     particle_init_cube_offset: Tuple[float, float, float] = (5.0, 2.0, 1.5)
     particle_init_cube_size: Tuple[float, float, float] = (10.0, 10.0, 2.0)
+    # Additional particle blobs, each (resolution, offset, size) with the
+    # same per-cube spawn math as the primary cube.  Particle ids are
+    # assigned consecutively: the primary cube takes ids [0, vol0), the first
+    # extra cube [vol0, vol0+vol1), and so on; leftover ids are inactive.
+    # Generalizes the reference's single-cube init kernel
+    # (`00_init_particles/init_particles.comp:36-49`) to multi-body scenes.
+    extra_particle_cubes: Tuple[Tuple[Tuple[int, int, int],
+                                      Tuple[float, float, float],
+                                      Tuple[float, float, float]], ...] = ()
 
     # --- physics ------------------------------------------------------------
     # simulation_constants.h:56-89

@@ -58,26 +58,40 @@ class FluidState(NamedTuple):
 
 
 def init_particles(cfg: FluidConfig) -> tuple[jax.Array, jax.Array]:
-    """Stage 00: spawn the initial particle cube.
+    """Stage 00: spawn the initial particle blob(s).
 
-    Faithful to `00_init_particles/init_particles.comp:27-49`: particle id i
-    maps to cube index (x = i % rx, y = (i/rx) % ry, z = i/(rx*ry)); position
-    = offset + idx/res * size; ids >= cube volume are inactive.
+    Faithful to `00_init_particles/init_particles.comp:27-49` for each cube:
+    particle id i (relative to the cube's id range) maps to cube index
+    (x = i % rx, y = (i/rx) % ry, z = i/(rx*ry)); position = offset +
+    idx/res * size.  Cubes take consecutive id ranges (the primary cube
+    first, then cfg.extra_particle_cubes); leftover ids are inactive — the
+    reference's single-cube rule `ids >= cube volume -> inactive`,
+    generalized to multi-body scenes.
     """
     p = cfg.particle_count
-    rx, ry, rz = cfg.particle_init_cube_resolution
-    vol = rx * ry * rz
+    cubes = [(cfg.particle_init_cube_resolution,
+              cfg.particle_init_cube_offset,
+              cfg.particle_init_cube_size)]
+    cubes += list(cfg.extra_particle_cubes)
+
     ids = jnp.arange(p, dtype=jnp.uint32)
-    x = ids % rx
-    y = (ids // rx) % ry
-    z = (ids // (rx * ry)) % rz
-    idx = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
-    res = jnp.array([rx, ry, rz], dtype=jnp.float32)
-    off = jnp.array(cfg.particle_init_cube_offset, dtype=jnp.float32)
-    size = jnp.array(cfg.particle_init_cube_size, dtype=jnp.float32)
-    pos = off + idx / res * size
-    active = ids < vol
-    pos = jnp.where(active[:, None], pos, 0.0)
+    pos = jnp.zeros((p, 3), dtype=jnp.float32)
+    active = jnp.zeros((p,), dtype=bool)
+    start = 0
+    for (rx, ry, rz), offset, size_ in cubes:
+        vol = rx * ry * rz
+        rel = ids - jnp.uint32(start)
+        x = rel % rx
+        y = (rel // rx) % ry
+        z = (rel // (rx * ry)) % rz
+        idx = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+        res = jnp.array([rx, ry, rz], dtype=jnp.float32)
+        off = jnp.array(offset, dtype=jnp.float32)
+        size = jnp.array(size_, dtype=jnp.float32)
+        in_cube = (ids >= start) & (ids < start + vol)
+        pos = jnp.where(in_cube[:, None], off + idx / res * size, pos)
+        active = active | in_cube
+        start += vol
     return pos.astype(cfg.jnp_dtype), active
 
 

@@ -45,10 +45,12 @@ def load_checkpoint(path: str):
         if meta["version"] != _FORMAT_VERSION:
             raise ValueError(f"unknown checkpoint version {meta['version']}")
         cfg_dict = meta["config"]
-        # tuples serialize as lists; restore
-        for k, v in cfg_dict.items():
-            if isinstance(v, list):
-                cfg_dict[k] = tuple(v)
+        # tuples serialize as lists; restore at EVERY nesting level, or a
+        # restored config with solid_boxes/extra_forces stays unhashable and
+        # jit_step rejects it as a static argument
+        from tpu_fluid.core.config import deep_tuple
+        cfg_dict = {k: deep_tuple(v) if isinstance(v, list) else v
+                    for k, v in cfg_dict.items()}
         cfg = FluidConfig(**cfg_dict)
         leaves = [jax.device_put(data[name]) for name in FluidState._fields]
     return FluidState(*leaves), cfg

@@ -88,8 +88,12 @@ def blur_float_densities(types: jnp.ndarray, f1: jnp.ndarray,
 
 def surface_field(state_f1: jnp.ndarray, state_f2: jnp.ndarray,
                   cfg: FluidConfig) -> jnp.ndarray:
-    """The field the renderer should consume: the result of the last blur
-    pass (held in f2 for odd total passes, f1 for even)."""
+    """The field the renderer should consume.
+
+    blur_float_densities writes pass 1 into f2, pass 2 into f1, and so on
+    alternating — so the final (n-th) pass lands in f2 for odd n and in f1
+    for even n.  With zero blur passes f1 holds the unblurred stage-17 field.
+    """
     if cfg.float_density_diffuse_steps % 2 == 1:
         return state_f2
-    return state_f1 if cfg.float_density_diffuse_steps > 0 else state_f1
+    return state_f1
