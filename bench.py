@@ -32,11 +32,13 @@ def main() -> None:
                                    jacobi_iters=200)
     ndev = len(jax.devices())
     if ndev > 1:
+        # explicit SPMD path: shard_map + ppermute halos, Pallas kernels on
+        # local blocks — the multi-chip fast path (parallel/spmd_step.py)
         from tpu_fluid.parallel.mesh import make_mesh, shard_state
-        from tpu_fluid.parallel.sharded import sharded_step
+        from tpu_fluid.parallel.spmd_step import spmd_step
         mesh = make_mesh()
         state = shard_state(initial_state(cfg), mesh)
-        step = sharded_step(mesh, cfg, donate=False)
+        step = spmd_step(mesh, cfg, donate=False)
     else:
         step = jax.jit(simulation_step, static_argnums=1)
         state = initial_state(cfg)

@@ -41,11 +41,18 @@ def test_sharded_step_matches_single(mesh):
     for _ in range(3):
         s_sh = step(s_sh)
 
+    # integer/bool state leaves must match BITWISE (SURVEY.md §4's bar);
+    # float leaves tightly (GSPMD may reorder FP sums across partitions)
+    int_leaves = ("cell_types", "inertia", "active", "detailed_occ", "step")
     for name, a, b in zip(s_ref._fields, jax.tree.leaves(s_ref),
                           jax.tree.leaves(s_sh)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(jax.device_get(b)),
-            rtol=1e-5, atol=1e-6, err_msg=f"leaf {name}")
+        a = np.asarray(a)
+        b = np.asarray(jax.device_get(b))
+        if name in int_leaves:
+            np.testing.assert_array_equal(a, b, err_msg=f"leaf {name}")
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"leaf {name}")
 
 
 def test_sharded_layout_preserved(mesh):
@@ -57,6 +64,24 @@ def test_sharded_layout_preserved(mesh):
         want.velocity, out.velocity.ndim)
     assert out.positions.sharding.is_equivalent_to(
         want.positions, out.positions.ndim)
+
+
+def test_sharded_run_to_run_determinism(mesh):
+    """Two independent sharded runs are bitwise identical (integer scatter
+    adds; no RNG anywhere) — SURVEY.md §4's determinism bar."""
+    from tpu_fluid.parallel.spmd_step import spmd_step
+    outs = []
+    for _ in range(2):
+        s = shard_state(initial_state(CFG), mesh)
+        step = spmd_step(mesh, CFG, donate=False)
+        for _ in range(3):
+            s = step(s)
+        outs.append(s)
+    for name, a, b in zip(outs[0]._fields, jax.tree.leaves(outs[0]),
+                          jax.tree.leaves(outs[1])):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            err_msg=f"leaf {name}")
 
 
 def test_graft_dryrun():

@@ -127,6 +127,11 @@ class FluidConfig:
     # particle from a precomputed neighborhood table (TPU-fast);
     # "gather" = 24 scalar gathers per particle (reference-shaped).
     particle_sampler: str = "packed"      # "packed" | "gather"
+    # Pallas kernel dispatch: "auto" = Pallas on TPU, XLA elsewhere;
+    # "on"/"off" force it; "interpret" runs the Pallas kernels through the
+    # interpreter (any backend) — how CPU-mesh tests exercise the exact
+    # TPU kernel code paths under multi-device sharding.
+    pallas_mode: str = "auto"             # "auto" | "on" | "interpret" | "off"
 
     # ------------------------------------------------------------------ derived
     @property

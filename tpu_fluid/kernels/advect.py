@@ -34,10 +34,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _advect_component_kernel(prev_ref, cur_ref, next_ref, u_ref, cond_ref,
-                             old_ref, out_ref, *, r, tx, shape):
+def _advect_component_kernel(x0_ref, prev_ref, cur_ref, next_ref, u_ref,
+                             cond_ref, old_ref, out_ref, *, r, tx, shape):
+    # `shape` is the GLOBAL domain (for coordinate clamping); under sharding
+    # x0_ref holds this shard's global x offset and the block geometry is
+    # local.  Single-device: x0 = 0 and local == global.
     gx, gy, gz = shape
     i = pl.program_id(0)
+    x0 = x0_ref[0]
 
     # --- assemble x-halo slab (TX+2R, Y, Z) ------------------------------
     a = jnp.concatenate(
@@ -61,7 +65,7 @@ def _advect_component_kernel(prev_ref, cur_ref, next_ref, u_ref, cond_ref,
             zv.append(a)
 
     # --- displacement offsets + per-axis hat weights ---------------------
-    x = (i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 0)
+    x = (x0 + i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 0)
          ).astype(jnp.float32)
     y = jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 1).astype(
         jnp.float32)
@@ -97,14 +101,16 @@ def _advect_component_kernel(prev_ref, cur_ref, next_ref, u_ref, cond_ref,
     out_ref[...] = jnp.where(cond_ref[...] != 0, acc, old_ref[...])
 
 
-def _advect_all_kernel(prev_ref, cur_ref, next_ref, cond_ref, out_ref, *,
-                       r, tx, shape, dt):
+def _advect_all_kernel(x0_ref, prev_ref, cur_ref, next_ref, cond_ref,
+                       out_ref, *, r, tx, shape, dt):
     """All 3 staggered components in one program; the face-center velocity
     (the first, grid-aligned sample of `advect.comp:74-78`) is computed
     in-register from the same assembled slabs instead of materializing the
-    9 displacement fields in HBM."""
+    9 displacement fields in HBM.  `shape` is the GLOBAL domain; x0_ref the
+    shard's global x offset (0 single-device)."""
     gx, gy, gz = shape
     i = pl.program_id(0)
+    x0 = x0_ref[0]
 
     # --- assemble (3, TX+2R, Y+2R, Z+2R) with x halo + y/z edge pads ------
     a = jnp.concatenate(
@@ -135,7 +141,7 @@ def _advect_all_kernel(prev_ref, cur_ref, next_ref, cond_ref, out_ref, *,
     def sl(c, dx, dy, dz):
         return zvs[c][dz + r][r + dx:r + dx + tx, r + dy:r + dy + gy, :]
 
-    x = (i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 0)
+    x = (x0 + i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 0)
          ).astype(jnp.float32)
     y = jax.lax.broadcasted_iota(jnp.int32, (tx, gy, gz), 1).astype(
         jnp.float32)
@@ -187,10 +193,35 @@ def _advect_all_kernel(prev_ref, cur_ref, next_ref, cond_ref, out_ref, *,
     out_ref[...] = jnp.stack(outs, axis=0)
 
 
+def _xpad(a, tx, halo, r):
+    """Pad axis -3 by tx on each side.  halo=None: edge-replicate (full
+    domain — equivalent to zero-fill given the clamp makes out-of-domain
+    weights exactly 0, but matches the historical layout).  halo=(l, r):
+    r-wide neighbor planes adjacent to the block, zeros beyond (the kernel
+    reads only prev[tx-r:] / next[:r] of each pad block)."""
+    ax = a.ndim - 3
+    if halo is None:
+        pads = [(0, 0)] * a.ndim
+        pads[ax] = (tx, tx)
+        return jnp.pad(a, pads, mode="edge")
+    left, right = halo
+    zshape = list(a.shape)
+    zshape[ax] = tx - r
+    z = jnp.zeros(zshape, dtype=a.dtype)
+    return jnp.concatenate([z, left, a, right, z], axis=ax)
+
+
 def advect_all_pallas(vel: jnp.ndarray, cond3: jnp.ndarray, r: int,
-                      dt: float, tx: int = 4) -> jnp.ndarray:
+                      dt: float, tx: int = 4, halo=None, x0=None,
+                      global_shape=None,
+                      interpret: bool = False) -> jnp.ndarray:
     """vel: (3, X, Y, Z); cond3: (3, X, Y, Z) uint8 advection masks.
-    Returns the fully advected velocity in one kernel."""
+    Returns the fully advected velocity in one kernel.
+
+    Sharded use (inside shard_map): vel/cond3 are local x-slabs, `halo` the
+    (left, right) r-wide neighbor planes (3, r, Y, Z), `x0` the shard's
+    global x offset (traced scalar), `global_shape` the full domain dims.
+    """
     _, gx, gy, gz = vel.shape
     # the unrolled (2R+1)^3 MAC holds O(hundreds) of (tx, Y, Z) temporaries;
     # shrink the slab on large Y*Z planes to stay inside VMEM
@@ -200,10 +231,13 @@ def advect_all_pallas(vel: jnp.ndarray, cond3: jnp.ndarray, r: int,
     if tx < r:
         raise ValueError(f"slab size {tx} must be >= halo {r}")
     grid = (gx // tx,)
-    vx = jnp.pad(vel, ((0, 0), (tx, tx), (0, 0), (0, 0)), mode="edge")
+    vx = _xpad(vel, tx, halo, r)
+    x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
+        jnp.asarray(x0, jnp.int32).reshape(1)
 
-    kernel = functools.partial(_advect_all_kernel, r=r, tx=tx,
-                               shape=(gx, gy, gz), dt=dt)
+    kernel = functools.partial(
+        _advect_all_kernel, r=r, tx=tx,
+        shape=global_shape or (gx, gy, gz), dt=dt)
     slab = lambda off: pl.BlockSpec(            # noqa: E731
         (3, tx, gy, gz), lambda i, o=off: (0, i + o, 0, 0),
         memory_space=pltpu.VMEM)
@@ -211,6 +245,7 @@ def advect_all_pallas(vel: jnp.ndarray, cond3: jnp.ndarray, r: int,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             slab(0), slab(1), slab(2),
             pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -220,14 +255,17 @@ def advect_all_pallas(vel: jnp.ndarray, cond3: jnp.ndarray, r: int,
         out_shape=jax.ShapeDtypeStruct((3, gx, gy, gz), vel.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(vx, vx, vx, cond3)
+        interpret=interpret,
+    )(x0a, vx, vx, vx, cond3)
 
 
 def advect_component_pallas(v: jnp.ndarray, u: jnp.ndarray,
-                            cond: jnp.ndarray, r: int,
-                            tx: int = 4) -> jnp.ndarray:
+                            cond: jnp.ndarray, r: int, tx: int = 4,
+                            halo=None, x0=None, global_shape=None,
+                            interpret: bool = False) -> jnp.ndarray:
     """v: (X, Y, Z) field (also the passthrough value); u: (3, X, Y, Z)
-    displacement; cond: (X, Y, Z) mask.  Returns the advected component."""
+    displacement; cond: (X, Y, Z) mask.  Returns the advected component.
+    Sharded use: see advect_all_pallas (halo planes are (r, Y, Z) here)."""
     gx, gy, gz = v.shape
     if gx % tx != 0:
         tx = next(t for t in range(min(tx, gx), 0, -1) if gx % t == 0)
@@ -235,12 +273,14 @@ def advect_component_pallas(v: jnp.ndarray, u: jnp.ndarray,
         raise ValueError(f"slab size {tx} must be >= halo {r}")
     grid = (gx // tx,)
 
-    # pad x by one full slab on each side (edge mode) so prev/next block
-    # views exist for the first/last slabs
-    vx = jnp.pad(v, ((tx, tx), (0, 0), (0, 0)), mode="edge")
+    # pad x by one full slab on each side so prev/next block views exist for
+    # the first/last slabs (real neighbor planes under sharding)
+    vx = _xpad(v, tx, halo, r)
+    x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
+        jnp.asarray(x0, jnp.int32).reshape(1)
 
     kernel = functools.partial(_advect_component_kernel, r=r, tx=tx,
-                               shape=(gx, gy, gz))
+                               shape=global_shape or (gx, gy, gz))
     slab = lambda off: pl.BlockSpec(            # noqa: E731
         (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
         memory_space=pltpu.VMEM)
@@ -248,6 +288,7 @@ def advect_component_pallas(v: jnp.ndarray, u: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             slab(0), slab(1), slab(2),
             pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -261,4 +302,5 @@ def advect_component_pallas(v: jnp.ndarray, u: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((gx, gy, gz), v.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(vx, vx, vx, u, cond.astype(jnp.uint8), v)
+        interpret=interpret,
+    )(x0a, vx, vx, vx, u, cond.astype(jnp.uint8), v)

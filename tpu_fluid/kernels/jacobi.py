@@ -19,6 +19,14 @@ One sweep:  p' = where(rd > 0, (sum_6 zeropad(where(wat, p, 0))) * rd + c2, p)
 which matches `pressure.comp:52-77` exactly (air/inactive neighbors
 contribute the constant folded into c2; solid neighbors are excluded from
 both the sum and aii).
+
+Out-of-domain neighbors must read as non-water zero pressure, so all x pads
+are ZERO-filled (wat = 0, rd = 0 in the pad kills both the neighbor sum and
+the update there).  That same convention makes the kernel shard-agnostic:
+under shard_map (`jacobi_sweeps_sharded`), the k-wide pad rows adjacent to
+each local block are filled with the neighbor shard's boundary planes via
+`jax.lax.ppermute` — domain-end shards receive ppermute's zeros, which is
+exactly the single-device zero pad.
 """
 
 from __future__ import annotations
@@ -49,9 +57,8 @@ def _zshift(a, d, axis, size):
 def _jacobi_kernel(p_prev, p_cur, p_next, rd_prev, rd_cur, rd_next,
                    c2_prev, c2_cur, c2_next, w_prev, w_cur, w_next,
                    out_ref, *, k, tx, shape):
-    gx, gy, gz = shape
+    _, gy, gz = shape
     h = k  # halo width
-    i = pl.program_id(0)
 
     def asm(prev, cur, nxt):
         return jnp.concatenate([prev[tx - h:], cur[...], nxt[:h]], axis=0)
@@ -60,15 +67,7 @@ def _jacobi_kernel(p_prev, p_cur, p_next, rd_prev, rd_cur, rd_next,
     rd = asm(rd_prev, rd_cur, rd_next)
     c2 = asm(c2_prev, c2_cur, c2_next)
     wat = asm(w_prev, w_cur, w_next) != 0
-
-    # zero out halo rows that lie outside the global domain (the x-pad is
-    # edge-replicated by the caller; out-of-domain neighbors must read as
-    # non-water / zero pressure, matching the XLA zero-padded shifts)
-    rows = i * tx - h + jax.lax.broadcasted_iota(
-        jnp.int32, (tx + 2 * h, gy, gz), 0)
-    inside = (rows >= 0) & (rows < gx)
-    wat = wat & inside
-    upd = (rd > 0.0) & inside
+    upd = rd > 0.0
 
     nrows = tx + 2 * h
     for _ in range(k):
@@ -81,51 +80,101 @@ def _jacobi_kernel(p_prev, p_cur, p_next, rd_prev, rd_cur, rd_next,
     out_ref[...] = p[h:h + tx]
 
 
-def jacobi_sweeps_pallas(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
-                         water: jnp.ndarray, n_iters: int,
-                         k: int = 8, tx: int = 16) -> jnp.ndarray:
-    """Run n_iters Jacobi sweeps; K per Pallas pass."""
-    gx, gy, gz = p.shape
-    # cap the slab so the K-sweep working set stays in VMEM on large planes
+def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int):
+    """Pick (k, tx) fitting the K-sweep working set in VMEM."""
     tx = max(1, min(tx, max(1, 262144 // (gy * gz))))
     if gx % tx != 0:
         tx = next(t for t in range(min(tx, gx), 0, -1) if gx % t == 0)
-    k = min(k, tx)
-    grid = (gx // tx,)
+    return min(k, tx), tx
 
-    def xpad(a):
-        # one slab of edge padding on each side so prev/next views exist;
-        # out-of-domain rows are masked inside the kernel
-        return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)), mode="edge")
 
+def _one_pass(p_pad, rd_pad, c2_pad, wat_pad, kk, tx, shape, interpret):
+    """One Pallas pass of kk fused sweeps over x-padded (gx + 2*tx) arrays.
+    Only the tx pad rows nearest the block are ever read (the kernel reads
+    prev[tx-kk:] / next[:kk]), so pads beyond the real halo may be zeros."""
+    gx, gy, gz = shape
+    kern = functools.partial(_jacobi_kernel, k=kk, tx=tx, shape=shape)
     slab = lambda off: pl.BlockSpec(            # noqa: E731
         (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(gx // tx,),
+        in_specs=[slab(0), slab(1), slab(2)] * 4,
+        out_specs=pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, gz), p_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*([p_pad] * 3 + [rd_pad] * 3 + [c2_pad] * 3 + [wat_pad] * 3))
+
+
+def jacobi_sweeps_pallas(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
+                         water: jnp.ndarray, n_iters: int,
+                         k: int = 8, tx: int = 16,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Run n_iters Jacobi sweeps on a full (single-device) grid; K fused
+    sweeps per Pallas pass."""
+    gx, gy, gz = p.shape
+    k, tx = _slab_sizes(gx, gy, gz, k, tx)
+
+    def xpad(a):
+        return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)))
+
+    rdp, c2p = xpad(rd), xpad(c2)
+    watp = xpad(water.astype(jnp.uint8))
+    shape = (gx, gy, gz)
 
     passes_full, rem = divmod(n_iters, k)
-
-    def one_pass(p, kk):
-        kern_k = functools.partial(_jacobi_kernel, k=kk, tx=tx,
-                                   shape=(gx, gy, gz))
-        return pl.pallas_call(
-            kern_k,
-            grid=grid,
-            in_specs=[slab(0), slab(1), slab(2)] * 4,
-            out_specs=pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((gx, gy, gz), p.dtype),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(*([xpad(p)] * 3 + [rdp] * 3 + [c2p] * 3 + [watp] * 3))
-
-    rdp = xpad(rd)
-    c2p = xpad(c2)
-    watp = xpad(water.astype(jnp.uint8))
-
     if passes_full:
         def body(_, pp):
-            return one_pass(pp, k)
+            return _one_pass(xpad(pp), rdp, c2p, watp, k, tx, shape,
+                             interpret)
         p = jax.lax.fori_loop(0, passes_full, body, p)
     if rem:
-        p = one_pass(p, rem)
+        p = _one_pass(xpad(p), rdp, c2p, watp, rem, tx, shape, interpret)
+    return p
+
+
+def jacobi_sweeps_sharded(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
+                          water: jnp.ndarray, n_iters: int, axis_name: str,
+                          k: int = 8, tx: int = 16,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Sharded variant, called INSIDE shard_map on local x-slab blocks.
+
+    Per K-sweep pass the k boundary planes of the pressure slab are
+    exchanged with the x-neighbor shards over ICI (`jax.lax.ppermute`, two
+    neighbor sends) — the TPU-native replacement for the reference's 200
+    barrier-separated dispatches (`fluid_flow_sections.h:300-313`); the
+    constant fields (rd/c2/water) exchange their halos once per solve.
+    Domain-end shards receive ppermute's zeros = the zero-pad convention.
+    """
+    lx, gy, gz = p.shape
+    k, tx = _slab_sizes(lx, gy, gz, k, tx)
+    n = jax.lax.axis_size(axis_name)
+    up = [(j, j + 1) for j in range(n - 1)]      # send +x
+    down = [(j + 1, j) for j in range(n - 1)]    # send -x
+
+    def xpad_halo(a):
+        """(lx, Y, Z) -> (lx + 2*tx, Y, Z): real k-wide neighbor halos in the
+        pad rows adjacent to the block, zeros beyond (never read)."""
+        from_left = jax.lax.ppermute(a[lx - k:], axis_name, up)
+        from_right = jax.lax.ppermute(a[:k], axis_name, down)
+        z = jnp.zeros((tx - k, gy, gz), dtype=a.dtype)
+        return jnp.concatenate([z, from_left, a, from_right, z], axis=0)
+
+    rdp, c2p = xpad_halo(rd), xpad_halo(c2)
+    watp = xpad_halo(water.astype(jnp.uint8))
+    shape = (lx, gy, gz)
+
+    passes_full, rem = divmod(n_iters, k)
+    if passes_full:
+        def body(_, pp):
+            return _one_pass(xpad_halo(pp), rdp, c2p, watp, k, tx, shape,
+                             interpret)
+        p = jax.lax.fori_loop(0, passes_full, body, p)
+    if rem:
+        p = _one_pass(xpad_halo(p), rdp, c2p, watp, rem, tx, shape,
+                      interpret)
     return p

@@ -55,7 +55,8 @@ def _pack_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
     out_ref[0] = jnp.transpose(stacked, (1, 2, 0))  # (Y, Z, 64)
 
 
-def build_packed_table_pallas(vel: jnp.ndarray) -> jnp.ndarray:
+def build_packed_table_pallas(vel: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
     """vel (3, X, Y, Z) -> packed table (X*Y*Z, 64); same contents as
     ops/packed_sampler.build_packed_table."""
     _, gx, gy, gz = vel.shape
@@ -74,6 +75,7 @@ def build_packed_table_pallas(vel: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((gx, gy, gz, LANES), vel.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(vx, vx, vx)
     # row-major (X, Y, Z, 64) -> (X*Y*Z, 64) is a free reshape
     return out.reshape(gx * gy * gz, LANES)

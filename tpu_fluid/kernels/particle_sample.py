@@ -69,7 +69,7 @@ def _sample_update_kernel(rows_ref, pos_ref, act_ref, out_ref, *,
 
 def sample_and_move(rows: jnp.ndarray, pos_t: jnp.ndarray,
                     active: jnp.ndarray, grid_size, dt: float,
-                    pb: int = 8192) -> jnp.ndarray:
+                    pb: int = 8192, interpret: bool = False) -> jnp.ndarray:
     """rows: (P, 64) gathered packed rows (natural gather layout; the flip
     to lane-major happens in VMEM); pos_t: (3, P); active: (P,).
     Returns new positions (3, P)."""
@@ -99,5 +99,6 @@ def sample_and_move(rows: jnp.ndarray, pos_t: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((3, padded), pos_t.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(rows, pos_t, active.astype(pos_t.dtype).reshape(1, -1))
     return out[:, :p]

@@ -27,16 +27,45 @@ from tpu_fluid.parallel.mesh import AXIS
 from tpu_fluid.stages.pressure import jacobi_stats
 
 
+def halo_planes(a: jnp.ndarray, h: int, axis_name: str = AXIS):
+    """The h boundary planes this shard receives from its -x and +x
+    neighbors (`jax.lax.ppermute`, two neighbor sends over ICI).  Operates
+    on the x axis = dim ndim-3, so (Lx, Y, Z) fields and (C, Lx, Y, Z)
+    stacks both work.  Domain-end shards receive zeros (ppermute leaves
+    non-receivers zeroed) — the out-of-domain convention of every stencil
+    stage (`shifted`'s zero fill)."""
+    ax = a.ndim - 3
+    n = jax.lax.axis_size(axis_name)
+    up = [(j, j + 1) for j in range(n - 1)]      # send +x
+    down = [(j + 1, j) for j in range(n - 1)]    # send -x
+    idx_last = [slice(None)] * a.ndim
+    idx_last[ax] = slice(a.shape[ax] - h, None)
+    idx_first = [slice(None)] * a.ndim
+    idx_first[ax] = slice(0, h)
+    from_left = jax.lax.ppermute(a[tuple(idx_last)], axis_name, up)
+    from_right = jax.lax.ppermute(a[tuple(idx_first)], axis_name, down)
+    return from_left, from_right
+
+
+def halo_extend(a: jnp.ndarray, h: int, axis_name: str = AXIS) -> jnp.ndarray:
+    """Local (…, Lx, Y, Z) block -> (…, Lx + 2h, Y, Z) with real neighbor
+    halos (zeros past the domain ends)."""
+    left, right = halo_planes(a, h, axis_name)
+    return jnp.concatenate([left, a, right], axis=a.ndim - 3)
+
+
+def halo_inner(a: jnp.ndarray, h: int = 1) -> jnp.ndarray:
+    """Strip h halo planes from each side of the x axis (dim ndim-3)."""
+    idx = [slice(None)] * a.ndim
+    idx[a.ndim - 3] = slice(h, a.shape[a.ndim - 3] - h)
+    return a[tuple(idx)]
+
+
 def exchange_x_halo(x: jnp.ndarray, axis_name: str = AXIS) -> jnp.ndarray:
     """Append 1-cell halo planes from the x-neighbors of this shard.
     x: local (Lx, Y, Z) block -> (Lx + 2, Y, Z); domain-edge shards get
     zero planes (ppermute leaves non-receivers zeroed)."""
-    n = jax.lax.axis_size(axis_name)
-    up = [(j, j + 1) for j in range(n - 1)]      # send right
-    down = [(j + 1, j) for j in range(n - 1)]    # send left
-    from_left = jax.lax.ppermute(x[-1:], axis_name, up)
-    from_right = jax.lax.ppermute(x[:1], axis_name, down)
-    return jnp.concatenate([from_left, x, from_right], axis=0)
+    return halo_extend(x, 1, axis_name)
 
 
 def _local_sweep(p, water, rd, c2, axis_name):

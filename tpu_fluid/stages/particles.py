@@ -83,20 +83,23 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
     from a precomputed per-cell neighborhood table instead of 24 scalar
     gathers (~30x faster on TPU; see ops/packed_sampler.py).
     """
+    from tpu_fluid.kernels import pallas_choice
     if cfg.particle_sampler == "packed":
         from tpu_fluid.ops.packed_sampler import (build_packed_table,
                                                   packed_row_indices,
                                                   sample_velocity_packed)
-        if jax.default_backend() == "tpu":
+        use_pallas, interpret = pallas_choice(cfg)
+        if use_pallas:
             # build the table and fuse weights + Euler update in Pallas;
             # the row gather itself stays an XLA gather
             from tpu_fluid.kernels.pack_table import build_packed_table_pallas
             from tpu_fluid.kernels.particle_sample import sample_and_move
-            table = build_packed_table_pallas(vel)
+            table = build_packed_table_pallas(vel, interpret=interpret)
             rows = jnp.take(table, packed_row_indices(positions,
                                                       cfg.grid_size), axis=0)
             new_t = sample_and_move(rows, positions.T, active,
-                                    cfg.grid_size, cfg.dt)
+                                    cfg.grid_size, cfg.dt,
+                                    interpret=interpret)
             return new_t.T
         table = build_packed_table(vel)
         v = sample_velocity_packed(table, cfg.grid_size, positions)

@@ -56,7 +56,8 @@ def jacobi_stats(types: jnp.ndarray, cfg: FluidConfig):
 
 
 def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
-                 cfg: FluidConfig) -> jnp.ndarray:
+                 cfg: FluidConfig, axis_name: str | None = None
+                 ) -> jnp.ndarray:
     """Stage 12: Jacobi pressure iteration, WATER cells only
     (`pressure.comp:52-77`).
 
@@ -68,22 +69,68 @@ def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
     The reference's projection stage reads PRESSURES_2, which after 200
     alternating iterations holds the 199th iterate (SURVEY.md §2.4#13); with
     `cfg.reference_pressure_parity` we therefore run jacobi_iters - 1 sweeps.
+
+    With `axis_name` (inside shard_map over x-slabs) all inputs/outputs are
+    local blocks and each sweep (XLA path) or K-sweep pass (Pallas path)
+    exchanges boundary planes with the x-neighbor shards via ppermute.
     """
-    water, aii, n_air = jacobi_stats(types, cfg)
+    from tpu_fluid.kernels import pallas_choice
+
+    if axis_name is not None:
+        # neighbor counts (aii/n_air) need the boundary planes of the
+        # x-neighbor shards; compute on the halo-extended block and slice
+        from tpu_fluid.parallel.halo import halo_extend, halo_inner
+        water, aii, n_air = jacobi_stats(
+            halo_extend(types, 1, axis_name), cfg)
+        water, aii, n_air = (halo_inner(water), halo_inner(aii),
+                             halo_inner(n_air))
+    else:
+        water, aii, n_air = jacobi_stats(types, cfg)
     b = div.astype(jnp.float32) * (cfg.fluid_density * cfg.cell_width / cfg.dt)
     const = n_air * cfg.air_pressure - b
     denom = jnp.maximum(aii, 1.0)
     update_mask = water & (aii > 0)
     iters = cfg.jacobi_iters - (1 if cfg.reference_pressure_parity else 0)
     p0 = jnp.full(types.shape, cfg.air_pressure, dtype=jnp.float32)
+    if axis_name is not None:
+        # the loop carry must be marked shard-varying up front (the sweeps'
+        # ppermute outputs are), or shard_map's VMA check rejects the loop
+        p0 = jax.lax.pcast(p0, axis_name, to="varying")
 
-    if jax.default_backend() == "tpu":
+    use_pallas, interpret = pallas_choice(cfg)
+    if use_pallas:
         # K-fused Pallas sweeps: fold the per-cell constants so one sweep is
         # p' = where(rd>0, neigh*rd + c2, p)
-        from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
+        from tpu_fluid.kernels.jacobi import (jacobi_sweeps_pallas,
+                                              jacobi_sweeps_sharded)
         rd = jnp.where(update_mask, 1.0 / denom, 0.0)
         c2 = const / denom
-        return jacobi_sweeps_pallas(p0, rd, c2, water, iters)
+        if axis_name is not None:
+            return jacobi_sweeps_sharded(p0, rd, c2, water, iters, axis_name,
+                                         interpret=interpret)
+        return jacobi_sweeps_pallas(p0, rd, c2, water, iters,
+                                    interpret=interpret)
+
+    if axis_name is not None:
+        from tpu_fluid.parallel.halo import exchange_x_halo
+
+        def sweep_halo(_, p):
+            pw = jnp.where(water, p, 0.0)
+            padded = exchange_x_halo(pw, axis_name)   # (Lx+2, Y, Z)
+            # accumulate in MOVES order (x-neighbors from the halo planes)
+            # so the FP sum order matches the single-device sweep bitwise
+            neigh = jnp.zeros_like(p)
+            for mv in MOVES:
+                if mv == (1, 0, 0):
+                    neigh = neigh + padded[2:]
+                elif mv == (-1, 0, 0):
+                    neigh = neigh + padded[:-2]
+                else:
+                    neigh = neigh + shifted(pw, mv)
+            p_new = (neigh + const) / denom
+            return jnp.where(update_mask, p_new, p)
+
+        return jax.lax.fori_loop(0, iters, sweep_halo, p0)
 
     def sweep(_, p):
         pw = jnp.where(water, p, 0.0)

@@ -70,14 +70,17 @@ def set_extrapolated_velocities(old_types: jnp.ndarray,
     return jnp.stack(out)
 
 
-def _advect_condition(types: jnp.ndarray, c: int) -> jnp.ndarray:
+def _advect_condition(types: jnp.ndarray, c: int, x0=0) -> jnp.ndarray:
     """Advection applies to component c of cell i iff i_c != 0 and (cell i is
     WATER or cell i + e_c is WATER — the reference checks the *upper*
-    neighbor, `advect.comp:66-71`)."""
+    neighbor, `advect.comp:66-71`).  `x0` offsets the x index under sharding
+    (the i_x != 0 test is against the GLOBAL coordinate)."""
     water = types == CellType.WATER
     up = tuple(1 if k == c else 0 for k in range(3))
     cond = water | shifted(water, up, fill=False)
     idx = jnp.arange(types.shape[c])
+    if c == 0:
+        idx = x0 + idx
     nonzero = (idx != 0).reshape(tuple(-1 if k == c else 1 for k in range(3)))
     return cond & nonzero
 
@@ -129,21 +132,23 @@ def face_center_velocity(vel: jnp.ndarray, c: int) -> jnp.ndarray:
 
 def advect(types: jnp.ndarray, vel: jnp.ndarray,
            cfg: FluidConfig) -> jnp.ndarray:
-    """Stage 07 dispatcher: picks the Pallas kernel on TPU ("auto"),
-    the XLA shift-select path elsewhere, or whatever cfg.advect_method pins.
-    """
+    """Stage 07 dispatcher: picks the Pallas kernel per cfg.pallas_mode
+    ("auto" = on TPU), the XLA shift-select path elsewhere, or whatever
+    cfg.advect_method pins."""
+    from tpu_fluid.kernels import pallas_choice
     method = cfg.advect_method
+    use_pallas, interpret = pallas_choice(cfg)
     if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "shift"
+        method = "pallas" if use_pallas else "shift"
     if method == "gather":
         return advect_gather(types, vel, cfg)
     if method == "pallas":
-        return advect_pallas(types, vel, cfg)
+        return advect_pallas(types, vel, cfg, interpret=interpret)
     return advect_shift(types, vel, cfg)
 
 
 def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
-                  cfg: FluidConfig) -> jnp.ndarray:
+                  cfg: FluidConfig, interpret: bool = False) -> jnp.ndarray:
     """Stage 07 via the fused Pallas slab kernel (kernels/advect.py, all 3
     components + in-register face-center velocities); same semantics as
     advect_shift."""
@@ -154,19 +159,20 @@ def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
     if gy * gz <= 128 * 128:
         cond3 = jnp.stack([_advect_condition(types, c) for c in range(3)]
                           ).astype(jnp.uint8)
-        return advect_all_pallas(vel, cond3, r, cfg.dt)
+        return advect_all_pallas(vel, cond3, r, cfg.dt, interpret=interpret)
     # large y*z planes: the fused kernel's unrolled MAC tree spills VMEM;
     # run one component per kernel (1/3 of the live set) instead
     out = []
     for c in range(3):
         cond = _advect_condition(types, c)
         u = -face_center_velocity(vel, c) * cfg.dt
-        out.append(advect_component_pallas(vel[c], u, cond, r, tx=2))
+        out.append(advect_component_pallas(vel[c], u, cond, r, tx=2,
+                                           interpret=interpret))
     return jnp.stack(out)
 
 
 def advect_shift(types: jnp.ndarray, vel: jnp.ndarray,
-                 cfg: FluidConfig) -> jnp.ndarray:
+                 cfg: FluidConfig, x0=0, gx_total=None) -> jnp.ndarray:
     """Stage 07, XLA shift-select path: gather-free semi-Lagrangian
     advection.
 
@@ -181,21 +187,27 @@ def advect_shift(types: jnp.ndarray, vel: jnp.ndarray,
     R = cfg.advect_max_displacement cells; displacements are clamped to
     [-R, R] (the only deviation from the reference, and only for cells moving
     faster than R cells/step; R=2 covers |v| <= 200 at dt=0.01).
+
+    Sharded use (inside shard_map): pass the halo-extended local block with
+    `x0` = global x index of its first row and `gx_total` = full domain x
+    size, then slice off the halo rows of the result — the coordinate clamp
+    and the i_x != 0 condition are against GLOBAL coordinates.
     """
     r = cfg.advect_max_displacement
-    from tpu_fluid.ops.packed_sampler import _edge_shift
     shape = types.shape
     out = []
     for c in range(3):
-        cond = _advect_condition(types, c)
+        cond = _advect_condition(types, c, x0=x0)
         u = -face_center_velocity(vel, c) * cfg.dt        # (3, X, Y, Z)
         u = jnp.clip(u, -r, r - 1e-4)
         # clamp-to-edge: clip the absolute texel coordinate to [0, N-1]
         axes = []
         for d in range(3):
-            n = shape[d]
-            i_d = jnp.arange(n, dtype=vel.dtype).reshape(
+            n = (gx_total or shape[0]) if d == 0 else shape[d]
+            i_d = jnp.arange(shape[d], dtype=vel.dtype).reshape(
                 tuple(-1 if k == d else 1 for k in range(3)))
+            if d == 0:
+                i_d = i_d + x0
             t_d = jnp.clip(i_d + u[d], 0.0, n - 1.0)
             u_d = t_d - i_d
             o_d = jnp.floor(u_d)
