@@ -56,6 +56,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--no-surface", action="store_true")
     p.add_argument("--no-particles", action="store_true")
+    p.add_argument("--video", type=str, default=None, metavar="PATH.gif",
+                   help="collect rendered frames into an animated GIF "
+                        "(the reference's demo-video counterpart); "
+                        "requires --frame-every")
+    p.add_argument("--video-fps", type=int, default=25)
+    p.add_argument("--orbit-deg", type=float, default=0.0,
+                   help="orbit the camera this many degrees around the "
+                        "scene center between rendered frames")
+    p.add_argument("--render-method", type=str, default="splat",
+                   choices=("splat", "native"),
+                   help="device splat renderer or exact host rasterizer")
     return p
 
 
@@ -159,7 +170,12 @@ def main(argv=None) -> int:
         write_obj(path, tris, normals)
         print(f"wrote {path} ({len(tris)} triangles)", flush=True)
 
+    if args.video and not args.frame_every:
+        raise SystemExit("--video requires --frame-every")
+
     t0 = time.time()
+    video_frames = []
+    center = tuple(g / 2.0 for g in sim.cfg.grid_size)
     done = 0
     while done < args.steps:
         chunk = args.steps - done
@@ -176,12 +192,21 @@ def main(argv=None) -> int:
         if args.frame_every and done % args.frame_every == 0:
             import numpy as np
             from tpu_fluid.render.export import write_png
-            img = np.asarray(sim.render_frame(args.width, args.height))
+            if args.orbit_deg:
+                sim.camera = sim.camera.orbit(args.orbit_deg, center)
+            img = np.asarray(sim.render_frame(args.width, args.height,
+                                              method=args.render_method))
             write_png(os.path.join(args.out, f"frame_{done:06d}.png"), img)
+            if args.video:
+                video_frames.append(img)
         if args.mesh_every and done % args.mesh_every == 0:
             dump_mesh(done)
         if args.checkpoint_every and done % args.checkpoint_every == 0:
             sim.save(os.path.join(args.out, "checkpoint.npz"))
+    if args.video and video_frames:
+        from tpu_fluid.render.export import write_gif
+        write_gif(args.video, video_frames, fps=args.video_fps)
+        print(f"wrote {args.video} ({len(video_frames)} frames)", flush=True)
     dt = time.time() - t0
     import jax
     jax.block_until_ready(sim.state.positions)

@@ -98,15 +98,15 @@ class Simulation:
                 raise RuntimeError("native rasterizer unavailable "
                                    "(no C++ toolchain)")
             return img
-        from tpu_fluid.render.splat import render_particles_and_surface
-        return render_particles_and_surface(
+        from tpu_fluid.render.splat import render_particles_and_surface_jit
+        return render_particles_and_surface_jit(
             self.state.positions,
             self.state.active if self.render_particles else
             self.state.active & False,
             mesh.vertices if mesh else None,
             mesh.normals if mesh else None,
             mesh.valid if mesh else None,
-            self.camera.mvp(), self.cfg, width, height)
+            self.camera.mvp(), cfg=self.cfg, width=width, height=height)
 
     # ------------------------------------------------------------------- io
     def save(self, path: str):
@@ -129,9 +129,22 @@ class Simulation:
             frame_dir: str = "out", width: int = 1024, height: int = 1024,
             log_every: int = 0, checkpoint_every: int = 0,
             checkpoint_path: str = "out/checkpoint.npz",
-            on_frame: Optional[Callable] = None):
-        """The headless main loop."""
-        from tpu_fluid.render.export import write_png
+            on_frame: Optional[Callable] = None,
+            video_path: Optional[str] = None, video_fps: int = 25,
+            orbit_deg_per_frame: float = 0.0,
+            save_frames: bool = True):
+        """The headless main loop.
+
+        With `video_path`, every rendered frame is also collected into an
+        animated GIF written at the end — the headless counterpart of the
+        reference's real-time window + demo video (`README.md:49-55`).
+        `orbit_deg_per_frame` rotates the camera about the scene center
+        between frames (the reference's interactive fly camera as a scripted
+        path).
+        """
+        from tpu_fluid.render.export import write_gif, write_png
+        center = tuple(g / 2.0 for g in self.cfg.grid_size)
+        frames = []
         done = 0
         while done < n_steps:
             chunk = n_steps - done
@@ -143,12 +156,20 @@ class Simulation:
             if log_every and done % log_every == 0:
                 print(format_diagnostics(self.diagnostics()), flush=True)
             if frame_every and done % frame_every == 0:
+                if orbit_deg_per_frame:
+                    self.camera = self.camera.orbit(orbit_deg_per_frame,
+                                                    center)
                 img = np.asarray(jax.device_get(self.render_frame(width,
                                                                   height)))
-                path = os.path.join(frame_dir, f"frame_{done:06d}.png")
-                write_png(path, img)
-                if on_frame:
-                    on_frame(path, img)
+                if video_path:
+                    frames.append(img)
+                if save_frames:
+                    path = os.path.join(frame_dir, f"frame_{done:06d}.png")
+                    write_png(path, img)
+                    if on_frame:
+                        on_frame(path, img)
             if checkpoint_every and done % checkpoint_every == 0:
                 self.save(checkpoint_path)
+        if video_path and frames:
+            write_gif(video_path, frames, fps=video_fps)
         return self

@@ -81,3 +81,24 @@ class Camera:
     def move(self, delta) -> "Camera":
         p = tuple(np.asarray(self.position) + np.asarray(delta))
         return dataclasses.replace(self, position=p)
+
+    def look_at_point(self, center) -> "Camera":
+        """Aim the camera at a world-space point."""
+        d = np.asarray(center, dtype=np.float64) - np.asarray(self.position)
+        return dataclasses.replace(self, direction=tuple(d))
+
+    def orbit(self, angle_deg: float, center) -> "Camera":
+        """Rotate the camera about the scene's vertical (y) axis around
+        `center`, re-aiming at it — the headless counterpart of the
+        reference's interactive WASD fly camera (`Camera::update`,
+        `main.cpp:160`).  The scene's up is -y, so positive angles orbit
+        clockwise seen from above."""
+        c = np.asarray(center, dtype=np.float64)
+        p = np.asarray(self.position, dtype=np.float64) - c
+        a = np.radians(angle_deg)
+        rot = np.array([[np.cos(a), 0.0, np.sin(a)],
+                        [0.0, 1.0, 0.0],
+                        [-np.sin(a), 0.0, np.cos(a)]])
+        p = rot @ p
+        return dataclasses.replace(
+            self, position=tuple(c + p)).look_at_point(center)

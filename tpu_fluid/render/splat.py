@@ -20,6 +20,7 @@ color of every sample that won its pixel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,15 +78,33 @@ def _bary_lattice(subdiv: int) -> np.ndarray:
     return np.array(pts, dtype=np.float32)
 
 
+REFERENCE_VIEWPORT = 1400.0  # the reference's window edge (main.cpp:35)
+
+
 def render_particles_and_surface(positions, active, tris, tri_normals,
                                  tri_valid, mvp, cfg: FluidConfig,
                                  width: int = 1024, height: int = 1024,
-                                 surface_subdiv: int = 3,
-                                 particle_radius: int = 1):
-    """Full frame: surface triangles (dense sample splat) + particles.
+                                 surface_subdiv: int = 4,
+                                 particle_radius: int | None = None,
+                                 max_sprite_radius: int = 3,
+                                 fine_tri_budget: int = 65536):
+    """Full frame: surface triangles (screen-adaptive sample splat) +
+    depth-scaled particle sprites.
 
     tris: (T, 3, 3) world-space triangles (masked by tri_valid); pass
     tris=None to skip the surface pass.  Returns (H, W, 3) uint8.
+
+    particle_radius=None (default) scales each sprite with depth like the
+    reference's `gl_PointSize = min(base/w, max)` (`30_render_particles/
+    render.vert:33-35`), normalized from its 1400px window to this viewport
+    and capped at `max_sprite_radius` px radius (caps the splat pass count);
+    an int pins every sprite to that fixed pixel radius.
+
+    Surface triangles whose projection exceeds the base lattice's ~1px
+    sample spacing are re-sampled through two finer masked lattices
+    (triangles compacted to `fine_tri_budget` / 1/4th of it first), so large
+    near-camera triangles don't leave pixel holes the way a fixed lattice
+    does — the splat analogue of the reference's hardware rasterization.
     """
     w, h = width, height
     mvp = jnp.asarray(mvp, dtype=jnp.float32)
@@ -103,28 +122,65 @@ def render_particles_and_surface(positions, active, tris, tri_normals,
         dif = jnp.asarray(cfg.render_surface_diffuse_color)
         tri_color = amb[None, :] + lam[:, None] * dif[None, :]   # (T, 3)
 
-        # fixed barycentric sample lattice covering each triangle evenly
-        bary = _bary_lattice(surface_subdiv)
-        pts = jnp.einsum("sk,tkd->tsd", jnp.asarray(bary), tris)
-        pts = pts.reshape(-1, 3)
-        px, py, d, front = project(mvp, pts, w, h)
-        s = bary.shape[0]
-        valid = jnp.repeat(tri_valid, s) & front
-        col = jnp.repeat(tri_color, s, axis=0)
-        passes.append((px, py, d, valid, col))
+        # per-triangle projected extent (px): max abs vertex-pair delta
+        vx, vy, _, vfront = project(mvp, tris.reshape(-1, 3), w, h)
+        vx = vx.reshape(-1, 3)
+        vy = vy.reshape(-1, 3)
+        ext = jnp.maximum(vx.max(1) - vx.min(1), vy.max(1) - vy.min(1))
+        ext = jnp.where(tri_valid & vfront.reshape(-1, 3).all(1), ext, 0.0)
+
+        def lattice_pass(sel_tris, sel_colors, sel_valid, subdiv):
+            bary = _bary_lattice(subdiv)
+            pts = jnp.einsum("sk,tkd->tsd", jnp.asarray(bary), sel_tris)
+            px, py, d, front = project(mvp, pts.reshape(-1, 3), w, h)
+            s = bary.shape[0]
+            valid = jnp.repeat(sel_valid, s) & front
+            col = jnp.repeat(sel_colors, s, axis=0)
+            passes.append((px, py, d, valid, col))
+
+        # base lattice: hole-free for triangles up to ~subdiv px
+        lattice_pass(tris, tri_color, tri_valid, surface_subdiv)
+
+        # adaptive refinement: compact the (few, near-camera) triangles that
+        # project larger, and re-sample them through finer lattices
+        for threshold, budget, subdiv in (
+                (float(surface_subdiv), fine_tri_budget, 10),
+                (10.0, max(1, fine_tri_budget // 4), 24)):
+            sel = tri_valid & (ext > threshold)
+            n_sel = sel.sum()
+            (ids,) = jnp.nonzero(sel, size=budget, fill_value=0)
+            sub_valid = jnp.arange(budget) < n_sel
+            lattice_pass(jnp.take(tris, ids, axis=0),
+                         jnp.take(tri_color, ids, axis=0),
+                         sub_valid, subdiv)
 
     # --- particles ---------------------------------------------------------
     px, py, d, front = project(mvp, positions, w, h)
     pcol = jnp.broadcast_to(
         jnp.asarray(cfg.particle_render_color, dtype=jnp.float32),
         (positions.shape[0], 3))
-    # splat a (2r+1)^2 circle per particle (reference point sprites are
-    # depth-scaled circles; small fixed radius approximates them)
-    for dx in range(-particle_radius, particle_radius + 1):
-        for dy in range(-particle_radius, particle_radius + 1):
-            if dx * dx + dy * dy > particle_radius * particle_radius:
+    if particle_radius is None:
+        # reference point size: min(base/w, max) px on a 1400px viewport,
+        # interpreted as the sprite diameter (frag discards outside the
+        # radius-0.5 point coord circle, render.frag:20-26)
+        size_px = jnp.minimum(cfg.particle_render_size / jnp.maximum(d, 1e-6),
+                              cfg.particle_render_max_size)
+        r_px = jnp.clip(0.5 * size_px * (min(w, h) / REFERENCE_VIEWPORT),
+                        0.0, float(max_sprite_radius))
+        rmax = max_sprite_radius
+    else:
+        r_px = jnp.full(d.shape, float(particle_radius))
+        rmax = particle_radius
+    r2 = jnp.maximum(r_px, 0.5) ** 2   # center pixel always lit
+    for dx in range(-rmax, rmax + 1):
+        for dy in range(-rmax, rmax + 1):
+            if dx * dx + dy * dy > rmax * rmax:
+                continue  # never inside any sprite's circle
+            if dx == 0 and dy == 0:
+                passes.append((px, py, d, active & front, pcol))
                 continue
-            passes.append((px + dx, py + dy, d, active & front, pcol))
+            lit = (dx * dx + dy * dy) <= r2
+            passes.append((px + dx, py + dy, d, active & front & lit, pcol))
 
     for (ppx, ppy, pd, pv, _) in passes:
         depth = splat_depth(depth, ppx, ppy, pd, pv, w, h)
@@ -142,3 +198,14 @@ def render_particles_and_surface(positions, active, tris, tri_normals,
         jnp.where(hit == 1, b, bg[2]),
     ], axis=-1)
     return img.reshape(h, w, 3)
+
+
+# The frame is one big program of ~50 masked splat passes; eagerly it would
+# dispatch (and on remote runtimes, compile) each scatter separately, so the
+# public entry point is the jitted whole-frame render.  cfg and the geometry
+# knobs are static; a `tris=None` particles-only call compiles separately.
+render_particles_and_surface_jit = jax.jit(
+    render_particles_and_surface,
+    static_argnames=("cfg", "width", "height", "surface_subdiv",
+                     "particle_radius", "max_sprite_radius",
+                     "fine_tri_budget"))
