@@ -104,3 +104,44 @@ def test_pallas_advect_large_plane_fallback():
     ref = jax.jit(lambda tt, v: vstages.advect_shift(tt, v, cfg))(t, vel)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_surface_fused_matches_stages():
+    """Fused stages 16-18 kernel (Mosaic codegen) vs the jnp stage
+    composition; ints bitwise, floats bitwise too (same per-cell ops)."""
+    from tpu_fluid.stages import surface_fields
+    from tpu_fluid.kernels.surface_fused import surface_fused_pallas
+    n = 16
+    cfg = FluidConfig(grid_size=(n, n, n), surface_render_resolution=2,
+                      solid_boxes=(((4, 4, 4), (8, 8, 8)),))
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = cfg.detailed_size
+    occ = (jax.random.uniform(k1, d) < 0.3).astype(jnp.uint8)
+    inertia = jax.random.randint(k2, d, 0, cfg.max_inertia + 1,
+                                 dtype=jnp.int32)
+    f2 = jax.random.normal(k3, d, dtype=jnp.float32)
+    types = _types(n, jax.random.PRNGKey(4))
+
+    skip = surface_fields.solid_parent_mask(types, cfg)
+    fused = jax.jit(lambda o, i, f: surface_fused_pallas(
+        o, i, f, skip.astype(jnp.uint8),
+        steps=cfg.float_density_diffuse_steps,
+        k=cfg.float_density_diffuse_coefficient,
+        inc_filled=cfg.inertia_increase_filled,
+        inc_neigh=cfg.inertia_increase_neighbour,
+        required_hits=cfg.inertia_required_neighbour_hits,
+        dec=cfg.inertia_decrease, max_inertia=cfg.max_inertia,
+        div_coef=cfg.float_density_division_coefficient))(occ, inertia, f2)
+
+    ref_inertia = surface_fields.update_inertia(occ, inertia, cfg)
+    ref_f1 = surface_fields.float_densities(ref_inertia, cfg)
+    ref_f1, ref_f2 = surface_fields.blur_float_densities(
+        types, ref_f1, f2, cfg)
+
+    np.testing.assert_array_equal(np.asarray(fused[0]),
+                                  np.asarray(ref_inertia))
+    np.testing.assert_allclose(np.asarray(fused[1]), np.asarray(ref_f1),
+                               rtol=2e-7, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(fused[2]), np.asarray(ref_f2),
+                               rtol=2e-7, atol=2e-7)

@@ -1,0 +1,194 @@
+"""Pallas (Mosaic) kernel: fused surface-field update (stages 16 + 17 + 18).
+
+The XLA path runs stage 16 (inertia), stage 17 (signed field) and the
+`float_density_diffuse_steps` blur passes of stage 18 as separate HBM passes
+over the detailed grid (256^3 at the 128^3 bench = 67 MB per f32 field);
+fusing them keeps every intermediate — the inertia increments, the signed
+field, and all but the last two blur iterates — in VMEM, one HBM read of the
+4 inputs and one write of the 3 outputs per x-slab.
+
+Reference semantics reproduced exactly (pinned by tests vs the jnp stages,
+which golden tests pin to the shaders):
+  16  `densities_inertia.comp:30-62`  — +filled / +neighbour-hits / decay,
+      clamp to max_inertia; out-of-grid neighbours read as not-filled
+  17  `float_densities.comp:22-28`    — -1 where inertia == 0 else
+      inertia / division_coefficient
+  18  `diffuse_densities.comp:45-63`  — f' = (1-6k) f + k sum_6, ping-ponged,
+      cells with a SOLID parent sim cell keep their stale value (the skip
+      mask) but still contribute to neighbours' sums; out-of-grid neighbour
+      reads are 0
+
+The x halo follows kernels/jacobi.py: prev/cur/next block views of x-padded
+inputs with an H-wide real halo (H = blur_steps + 1: one cell for the
+inertia stencil plus one per blur pass); y/z out-of-grid reads are
+zero-filled in-register.  Zero pads at the domain ends reproduce the GLSL
+robust-access zeros, so the kernel is shard-agnostic the same way.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_fluid.kernels.jacobi import _zshift
+
+
+def _neighbor_sum(a, nrows, gy, gz):
+    return (_zshift(a, 1, 0, nrows) + _zshift(a, -1, 0, nrows)
+            + _zshift(a, 1, 1, gy) + _zshift(a, -1, 1, gy)
+            + _zshift(a, 1, 2, gz) + _zshift(a, -1, 2, gz))
+
+
+def _surface_kernel(x0_ref, occ_p, occ_c, occ_n, in_p, in_c, in_n,
+                    f2_p, f2_c, f2_n, sk_p, sk_c, sk_n,
+                    inertia_out, f1_out, f2_out, *,
+                    h, tx, shape, steps, k, inc_filled, inc_neigh,
+                    required_hits, dec, max_inertia, div_coef):
+    # `shape` is the GLOBAL detailed grid; x0_ref holds this shard's global
+    # detailed-x offset (0 single-device) so the out-of-domain zero rule
+    # applies at the true domain ends, not at shard boundaries.
+    gx, gy, gz = shape
+    x0 = x0_ref[0]
+    i = pl.program_id(0)
+    # assembled rows, padded with dummy zero rows to a sublane multiple of 8
+    # (Mosaic rejects some mask relayouts on unaligned 3D shapes); the dummy
+    # rows sit beyond the halo and never reach the tx output rows
+    nrows = -(-(tx + 2 * h) // 8) * 8
+    dummy = nrows - (tx + 2 * h)
+
+    def asm(prev, cur, nxt):
+        parts = [prev[tx - h:], cur[...], nxt[:h]]
+        if dummy:
+            parts.append(jnp.zeros((dummy, gy, gz), dtype=cur.dtype))
+        return jnp.concatenate(parts, axis=0)
+
+    occ = asm(occ_p, occ_c, occ_n)
+    inertia = asm(in_p, in_c, in_n).astype(jnp.int32)
+    f2_old = asm(f2_p, f2_c, f2_n)
+    skip = asm(sk_p, sk_c, sk_n) != 0
+
+    # global-x in-domain mask: the pad rows of the first/last block lie
+    # outside the domain; every field OOB must read as the GLSL robust zero
+    gxrow = (x0 + i * tx - h
+             + jax.lax.broadcasted_iota(jnp.int32, (nrows, 1, 1), 0))
+    in_dom = (gxrow >= 0) & (gxrow < gx)
+
+    # stage 16: inertia update (densities_inertia.comp:30-62).  Selects are
+    # arithmetic (0/1 indicator * branch difference) rather than
+    # jnp.where-on-comparison: Mosaic rejects the i1-mask relayout the
+    # scalar-branch wheres need on these wide (·, 256, 256) slabs
+    # ("Invalid relayout ... i1 ... {0,0} -> {*,*}"); all-int arithmetic is
+    # bitwise-identical to the select.
+    filled = jnp.minimum(occ.astype(jnp.int32), 1)
+    hits = _neighbor_sum(filled, nrows, gy, gz)
+    ge = jnp.clip(hits - (required_hits - 1), 0, 1)   # hits >= required
+    inc = filled * inc_filled + ge * hits * inc_neigh
+    nz = jnp.clip(inc, 0, 1)                          # inc != 0 (inc >= 0)
+    increased = inertia + inc
+    decreased = jnp.maximum(inertia - dec, 0)
+    inertia = jnp.minimum(decreased + nz * (increased - decreased),
+                          max_inertia)
+
+    # stage 17: signed field (float_densities.comp:22-28); out-of-domain
+    # rows would read -1 from their zero inertia — force the blur's zero.
+    # nzi in {0.0, 1.0}: 1*q + 0 = q and 0*q + (-1) = -1, both exact.
+    nzi = jnp.clip(inertia, 0, 1).astype(jnp.float32)
+    f = nzi * (inertia.astype(jnp.float32) / div_coef) + (nzi - 1.0)
+    f = jnp.where(in_dom, f, 0.0)
+
+    # stage 18: ping-pong blur; `a` plays f1, `b` plays f2
+    a, b = f, f2_old
+    for it in range(steps):
+        src, dst = (a, b) if it % 2 == 0 else (b, a)
+        blurred = (1.0 - 6.0 * k) * src + k * _neighbor_sum(src, nrows,
+                                                            gy, gz)
+        res = jnp.where(skip, dst, blurred)
+        res = jnp.where(in_dom, res, 0.0)
+        if it % 2 == 0:
+            b = res
+        else:
+            a = res
+
+    inertia_out[...] = inertia[h:h + tx]
+    f1_out[...] = a[h:h + tx]
+    f2_out[...] = b[h:h + tx]
+
+
+def _slab_tx(gx: int, gy: int, gz: int, h: int, tx: int) -> int:
+    """Slab rows per program: the working set is ~8 live (tx+2h, gy, gz)
+    f32 temporaries; shrink tx on large planes."""
+    tx = max(h, min(tx, max(h, 524288 // (gy * gz))))
+    if gx % tx != 0:
+        tx = next(t for t in range(min(tx, gx), h - 1, -1) if gx % t == 0)
+    return tx
+
+
+def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
+                         f2: jnp.ndarray, skip: jnp.ndarray, *,
+                         steps: int, k: float, inc_filled: int,
+                         inc_neigh: int, required_hits: int, dec: int,
+                         max_inertia: int, div_coef: float,
+                         tx: int = 8, halos=None, x0=None,
+                         global_gx: int | None = None,
+                         interpret: bool = False):
+    """Fused stages 16-18 on a detailed grid (or a local x-slab of one).
+
+    occ: (DX,DY,DZ) uint8 occupancy; inertia: int32; f2: float32 (stale
+    ping-pong buffer); skip: uint8 solid-parent mask.
+    Returns (inertia', f1', f2').
+
+    Sharded use (inside shard_map): the arrays are local x-slabs, `halos`
+    the ((left, right), ...) h-wide neighbor planes for (occ, inertia, f2,
+    skip) in that order (h = steps + 1), `x0` the shard's global detailed-x
+    offset (traced scalar) and `global_gx` the full detailed x extent.
+    Output central rows are bitwise-identical to the single-device kernel:
+    the h-wide halo loses one exact ring per stage, ending exactly at the
+    block boundary.
+    """
+    gx, gy, gz = occ.shape
+    h = steps + 1
+    tx = _slab_tx(gx, gy, gz, h, tx)
+
+    def xpad(a, halo):
+        if halo is None:
+            return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)))
+        left, right = halo
+        z = jnp.zeros((tx - h, gy, gz), dtype=a.dtype)
+        return jnp.concatenate([z, left, a, right, z], axis=0)
+
+    halos = halos or (None,) * 4
+    occ_p = xpad(occ, halos[0])
+    in_p = xpad(inertia, halos[1])
+    f2_p = xpad(f2, halos[2])
+    sk_p = xpad(skip.astype(jnp.uint8), halos[3])
+    x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
+        jnp.asarray(x0, jnp.int32).reshape(1)
+
+    kern = functools.partial(
+        _surface_kernel, h=h, tx=tx, shape=(global_gx or gx, gy, gz),
+        steps=steps,
+        k=float(k), inc_filled=int(inc_filled), inc_neigh=int(inc_neigh),
+        required_hits=int(required_hits), dec=int(dec),
+        max_inertia=int(max_inertia), div_coef=float(div_coef))
+    slab = lambda off: pl.BlockSpec(            # noqa: E731
+        (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(gx // tx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [slab(0), slab(1), slab(2)] * 4,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), jnp.int32),
+                   jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
+                   jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0a, *([occ_p] * 3 + [in_p] * 3 + [f2_p] * 3 + [sk_p] * 3))

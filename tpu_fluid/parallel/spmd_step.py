@@ -247,10 +247,40 @@ def _local_step(state: FluidState, cfg: FluidConfig,
 
     # 16-18
     if cfg.surface_enabled:
-        inertia = halo_inner(surface_fields.update_inertia(
-            halo_extend(occ, 1), halo_extend(state.inertia, 1), cfg))
-        f1 = surface_fields.float_densities(inertia, cfg)
-        f1, f2 = _blur_spmd(types, f1, state.float_dens_2, cfg)
+        from tpu_fluid.kernels import pallas_choice
+        use_pallas, interpret = pallas_choice(cfg)
+        r = cfg.surface_render_resolution
+        h = cfg.float_density_diffuse_steps + 1
+        lx_det = types.shape[0] * r
+        if use_pallas and lx_det >= h:
+            # fused Pallas kernel on the local detailed slab: one h-wide
+            # halo exchange (h = blur_steps + 1) replaces the per-stage /
+            # per-pass exchanges; central rows are bitwise-identical to the
+            # single-device kernel (kernels/surface_fused.py).  Slabs
+            # narrower than the halo fall back to the per-pass jnp path.
+            from tpu_fluid.kernels.surface_fused import surface_fused_pallas
+            skip = surface_fields.solid_parent_mask(types, cfg
+                                                    ).astype(jnp.uint8)
+            f2_old = state.float_dens_2
+            halos = tuple(halo_planes(a, h)
+                          for a in (occ, state.inertia, f2_old, skip))
+            inertia, f1, f2 = surface_fused_pallas(
+                occ, state.inertia, f2_old, skip,
+                steps=cfg.float_density_diffuse_steps,
+                k=cfg.float_density_diffuse_coefficient,
+                inc_filled=cfg.inertia_increase_filled,
+                inc_neigh=cfg.inertia_increase_neighbour,
+                required_hits=cfg.inertia_required_neighbour_hits,
+                dec=cfg.inertia_decrease,
+                max_inertia=cfg.max_inertia,
+                div_coef=cfg.float_density_division_coefficient,
+                halos=halos, x0=x0 * r, global_gx=gx * r,
+                interpret=interpret)
+        else:
+            inertia = halo_inner(surface_fields.update_inertia(
+                halo_extend(occ, 1), halo_extend(state.inertia, 1), cfg))
+            f1 = surface_fields.float_densities(inertia, cfg)
+            f1, f2 = _blur_spmd(types, f1, state.float_dens_2, cfg)
     else:
         inertia, f1, f2 = (state.inertia, state.float_dens_1,
                            state.float_dens_2)

@@ -66,10 +66,8 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     # also consumed by the next frame's stage 01)
     occ = particles.detailed_occupancy(pos, state.active, cfg)
     if cfg.surface_enabled:
-        inertia = surface_fields.update_inertia(occ, state.inertia, cfg)
-        f1 = surface_fields.float_densities(inertia, cfg)
-        f1, f2 = surface_fields.blur_float_densities(types, f1,
-                                                     state.float_dens_2, cfg)
+        inertia, f1, f2 = surface_fields.update_surface_fields(
+            types, occ, state.inertia, state.float_dens_2, cfg)
     else:  # sim-only mode: surface stages skipped
         inertia, f1, f2 = state.inertia, state.float_dens_1, \
             state.float_dens_2

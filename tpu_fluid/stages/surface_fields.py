@@ -86,6 +86,37 @@ def blur_float_densities(types: jnp.ndarray, f1: jnp.ndarray,
     return f1, f2
 
 
+def update_surface_fields(types: jnp.ndarray, occ: jnp.ndarray,
+                          inertia: jnp.ndarray, f2: jnp.ndarray,
+                          cfg: FluidConfig):
+    """Stages 16-18 combined: (types, occupancy, inertia, stale f2) ->
+    (inertia', f1', f2').
+
+    Dispatches to the fused Pallas kernel (one HBM pass over the detailed
+    grid) per cfg.pallas_mode, else composes the three jnp stages.
+    """
+    from tpu_fluid.kernels import pallas_choice
+    use_pallas, interpret = pallas_choice(cfg)
+    if use_pallas:
+        from tpu_fluid.kernels.surface_fused import surface_fused_pallas
+        skip = solid_parent_mask(types, cfg).astype(jnp.uint8)
+        return surface_fused_pallas(
+            occ, inertia, f2, skip,
+            steps=cfg.float_density_diffuse_steps,
+            k=cfg.float_density_diffuse_coefficient,
+            inc_filled=cfg.inertia_increase_filled,
+            inc_neigh=cfg.inertia_increase_neighbour,
+            required_hits=cfg.inertia_required_neighbour_hits,
+            dec=cfg.inertia_decrease,
+            max_inertia=cfg.max_inertia,
+            div_coef=cfg.float_density_division_coefficient,
+            interpret=interpret)
+    inertia = update_inertia(occ, inertia, cfg)
+    f1 = float_densities(inertia, cfg)
+    f1, f2 = blur_float_densities(types, f1, f2, cfg)
+    return inertia, f1, f2
+
+
 def surface_field(state_f1: jnp.ndarray, state_f2: jnp.ndarray,
                   cfg: FluidConfig) -> jnp.ndarray:
     """The field the renderer should consume.
