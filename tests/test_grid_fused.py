@@ -1,0 +1,116 @@
+"""Fused sim-grid stage-group kernels (kernels/grid_fused.py) vs the jnp
+stage compositions (which golden tests pin to the reference shaders), via
+the Pallas interpreter on CPU.
+
+Integer outputs (cell types) must match bitwise; float outputs exactly too —
+the kernels mirror the stage op order (arithmetic indicator selects are
+0/1-exact against the jnp wheres)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.types import CellType
+from tpu_fluid.kernels.grid_fused import (classify_extrap_pallas,
+                                          forces_solids_div_pallas,
+                                          project_pallas)
+from tpu_fluid.stages import celltypes, pressure
+from tpu_fluid.stages import velocity as vstages
+
+
+def _cfg(**kw):
+    d = dict(grid_size=(24, 16, 12))
+    d.update(kw)
+    return FluidConfig(**d)
+
+
+def _random_fields(cfg, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    g = cfg.grid_size
+    occ = (jax.random.uniform(k1, g) < 0.35).astype(jnp.uint8)
+    old_types = jax.random.randint(k2, g, 0, 4, dtype=jnp.int32
+                                   ).astype(jnp.uint8)
+    vel = 3.0 * jax.random.normal(k3, (3,) + g, dtype=jnp.float32)
+    p = jax.random.normal(k4, g, dtype=jnp.float32)
+    return occ, old_types, vel, p
+
+
+def _ref_classify(occ, old_types, vel, cfg):
+    new_types = celltypes.update_water((occ > 0).astype(jnp.int32))
+    new_types = celltypes.update_air(new_types, cfg)
+    extr = vstages.compute_extrapolated_velocities(old_types, vel)
+    v = vstages.set_extrapolated_velocities(old_types, new_types, vel, extr)
+    return celltypes.commit_cell_types(new_types), v
+
+
+@pytest.mark.parametrize("boxes", [(), (((4, 3, 2), (9, 8, 6)),)])
+def test_classify_extrap_matches_stages(boxes):
+    cfg = _cfg(solid_boxes=boxes)
+    occ, old_types, vel, _ = _random_fields(cfg)
+    ref_t, ref_v = _ref_classify(occ, old_types, vel, cfg)
+    t, v = classify_extrap_pallas(occ, old_types, vel, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_t))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+
+
+@pytest.mark.parametrize("extra", [
+    (), (((5, 4, 3), (100.0, 0.0, -50.0)),),
+])
+def test_forces_solids_div_matches_stages(extra):
+    cfg = _cfg(extra_forces=extra)
+    occ, old_types, vel, _ = _random_fields(cfg, seed=1)
+    types, _ = _ref_classify(occ, old_types, vel, cfg)
+
+    ref_v = vstages.apply_forces(types, vel, cfg)
+    ref_v = vstages.apply_solids(types, ref_v, cfg)
+    ref_div = pressure.compute_divergence(ref_v)
+
+    v, div = forces_solids_div_pallas(types, vel, cfg, interpret=True)
+    # 1-2 ulp: XLA CPU contracts the jnp path's v + dt*force into an FMA,
+    # the Pallas interpreter rounds the mul and add separately
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(div), np.asarray(ref_div),
+                               rtol=1e-6, atol=2e-7)
+
+
+def test_project_matches_stage():
+    cfg = _cfg()
+    occ, old_types, vel, p = _random_fields(cfg, seed=2)
+    types, _ = _ref_classify(occ, old_types, vel, cfg)
+    ref_v = pressure.pressure_project(types, p, vel, cfg)
+    v = project_pallas(types, p, vel, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-7)  # FMA contraction, ibid
+
+
+def test_full_step_interpret_matches_xla():
+    """One full simulation step with pallas_mode=interpret (all fused
+    kernels) vs pallas_mode=off, on a real scene."""
+    from tpu_fluid.core.state import initial_state
+    from tpu_fluid.solver.step import simulation_step
+    base = dict(grid_size=(16, 16, 16), particle_count=2048,
+                particle_init_cube_resolution=(16, 16, 8),
+                particle_init_cube_offset=(3.0, 2.0, 3.0),
+                particle_init_cube_size=(10.0, 8.0, 8.0),
+                surface_render_resolution=2, jacobi_iters=20,
+                advect_max_displacement=1)
+    cfg_i = FluidConfig(**base, pallas_mode="interpret", grid_fused=True)
+    cfg_x = FluidConfig(**base, pallas_mode="off")
+    s_i = initial_state(cfg_i)
+    s_x = initial_state(cfg_x)
+    for _ in range(3):
+        s_i = simulation_step(s_i, cfg_i)
+        s_x = simulation_step(s_x, cfg_x)
+    np.testing.assert_array_equal(np.asarray(s_i.cell_types),
+                                  np.asarray(s_x.cell_types))
+    # advect + sampler kernels reassociate float ops; fields stay close
+    np.testing.assert_allclose(np.asarray(s_i.velocity),
+                               np.asarray(s_x.velocity),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_i.positions),
+                               np.asarray(s_x.positions),
+                               rtol=2e-5, atol=2e-5)

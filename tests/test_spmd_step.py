@@ -85,6 +85,16 @@ def test_spmd_matches_single_device_pallas_interpret():
     assert_states_match(ref, sharded)
 
 
+def test_spmd_matches_single_device_grid_fused():
+    """The fused sim-grid stage kernels (kernels/grid_fused.py) under
+    sharding: single-device and SPMD run the same kernels -> bitwise."""
+    cfg = base_cfg(pallas_mode="interpret", grid_fused=True,
+                   solid_boxes=(((6, 8, 4), (10, 14, 8)),),
+                   extra_forces=(((9, 12, 11), (50.0, -80.0, 0.0)),))
+    ref, sharded = run_both(cfg)
+    assert_states_match(ref, sharded)
+
+
 def test_spmd_interpret_matches_xla_formulations():
     """Pallas kernels == XLA stage formulations, both sharded."""
     _, sh_pallas = run_both(base_cfg(pallas_mode="interpret"), n_steps=2)

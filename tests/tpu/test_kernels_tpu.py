@@ -145,3 +145,51 @@ def test_pallas_surface_fused_matches_stages():
                                rtol=2e-7, atol=2e-7)
     np.testing.assert_allclose(np.asarray(fused[2]), np.asarray(ref_f2),
                                rtol=2e-7, atol=2e-7)
+
+
+def test_pallas_grid_fused_matches_stages():
+    """Fused sim-grid stage-group kernels (Mosaic codegen) vs the jnp
+    stages: types bitwise, floats to FMA-contraction tolerance."""
+    from tpu_fluid.kernels.grid_fused import (classify_extrap_pallas,
+                                              forces_solids_div_pallas,
+                                              project_pallas)
+    from tpu_fluid.stages import celltypes, pressure
+    from tpu_fluid.stages import velocity as vstages
+    n = 16
+    cfg = FluidConfig(grid_size=(n, n, n),
+                      solid_boxes=(((4, 4, 4), (8, 8, 8)),))
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    occ = (jax.random.uniform(k1, (n, n, n)) < 0.35).astype(jnp.uint8)
+    old_types = jax.random.randint(k2, (n, n, n), 0, 4,
+                                   dtype=jnp.int32).astype(jnp.uint8)
+    vel = 3.0 * jax.random.normal(k3, (3, n, n, n), dtype=jnp.float32)
+    p = jax.random.normal(k4, (n, n, n), dtype=jnp.float32)
+
+    new_types = celltypes.update_air(
+        celltypes.update_water((occ > 0).astype(jnp.int32)), cfg)
+    extr = vstages.compute_extrapolated_velocities(old_types, vel)
+    ref_v5 = vstages.set_extrapolated_velocities(old_types, new_types, vel,
+                                                 extr)
+    t, v5 = jax.jit(lambda o, ot, v: classify_extrap_pallas(
+        o, ot, v, cfg))(occ, old_types, vel)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(new_types))
+    np.testing.assert_allclose(np.asarray(v5), np.asarray(ref_v5),
+                               rtol=1e-6, atol=1e-7)
+
+    types = new_types
+    ref_v = vstages.apply_solids(types, vstages.apply_forces(types, vel,
+                                                             cfg), cfg)
+    ref_div = pressure.compute_divergence(ref_v)
+    v, div = jax.jit(lambda t_, v_: forces_solids_div_pallas(
+        t_, v_, cfg))(types, vel)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(div), np.asarray(ref_div),
+                               rtol=1e-6, atol=2e-7)
+
+    ref_pv = pressure.pressure_project(types, p, vel, cfg)
+    pv = jax.jit(lambda t_, p_, v_: project_pallas(t_, p_, v_, cfg))(
+        types, p, vel)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(ref_pv),
+                               rtol=1e-6, atol=1e-7)

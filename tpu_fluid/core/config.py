@@ -132,6 +132,13 @@ class FluidConfig:
     # interpreter (any backend) — how CPU-mesh tests exercise the exact
     # TPU kernel code paths under multi-device sharding.
     pallas_mode: str = "auto"             # "auto" | "on" | "interpret" | "off"
+    # Fused sim-grid stage groups (kernels/grid_fused.py: 02-06, 08-11, 13)
+    # as Pallas kernels instead of the jnp stages.  Default OFF: measured
+    # slightly slower single-chip (46.6 vs 47.9 steps/s at the 128^3 bench —
+    # XLA already consumer-fuses those stages nearly for free, and the
+    # kernels add x-pad copies).  Kept for the explicit-SPMD step, where one
+    # fused halo exchange per group replaces per-stage exchanges.
+    grid_fused: bool = False
 
     # ------------------------------------------------------------------ derived
     @property

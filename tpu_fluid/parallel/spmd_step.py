@@ -190,6 +190,11 @@ def _local_step(state: FluidState, cfg: FluidConfig,
                 n_shards: int) -> FluidState:
     """One frame on this shard's local blocks (runs inside shard_map).
     Stage order identical to solver/step.simulation_step."""
+    from tpu_fluid.kernels import pallas_choice
+    use_pallas, interpret = pallas_choice(cfg)
+    fuse_grid = (use_pallas and cfg.grid_fused
+                 and cfg.reference_diffuse_noop)
+
     gx, gy, gz = cfg.grid_size
     lx = gx // n_shards
     x0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * lx
@@ -199,35 +204,64 @@ def _local_step(state: FluidState, cfg: FluidConfig,
 
     # 01-03: classify cells from particle occupancy (block-local max-pool)
     occ_sim = particles.occupancy_to_sim_grid(state.detailed_occ, cfg)
-    new_types = celltypes.update_water(occ_sim)
-    new_types = _update_air_spmd(new_types, cfg, x0)
 
-    # 04-05: extrapolation (radius-1: run on 1-halo blocks, keep interior)
-    ot_e = halo_extend(old_types, 1)
-    nt_e = halo_extend(new_types, 1)
-    vel_e = halo_extend(vel, 1)
-    extr_e = vstages.compute_extrapolated_velocities(ot_e, vel_e)
-    vel = halo_inner(
-        vstages.set_extrapolated_velocities(ot_e, nt_e, vel_e, extr_e))
+    if fuse_grid and lx >= 2:
+        # stages 02-06 in the same fused Pallas kernel as the single-device
+        # step, on local slabs with 2-wide ppermute halos (h=2: the stage-05
+        # state machine reads stage-03 types of x+-1, whose air test reads
+        # water at x+-2); central rows are bitwise-identical
+        from tpu_fluid.kernels.grid_fused import classify_extrap_pallas
+        halos = tuple(halo_planes(a, 2)
+                      for a in (occ_sim, old_types, vel))
+        types, vel = classify_extrap_pallas(
+            occ_sim, old_types, vel, cfg, halos=halos, x0=x0,
+            global_gx=gx, interpret=interpret)
+    else:
+        new_types = celltypes.update_water(occ_sim)
+        new_types = _update_air_spmd(new_types, cfg, x0)
+        # 04-05: extrapolation (radius-1: 1-halo blocks, keep interior)
+        ot_e = halo_extend(old_types, 1)
+        nt_e = halo_extend(new_types, 1)
+        vel_e = halo_extend(vel, 1)
+        extr_e = vstages.compute_extrapolated_velocities(ot_e, vel_e)
+        vel = halo_inner(
+            vstages.set_extrapolated_velocities(ot_e, nt_e, vel_e, extr_e))
+        types = celltypes.commit_cell_types(new_types)
 
-    types = celltypes.commit_cell_types(new_types)
-
-    # 07-10
+    # 07
     vel = _advect_spmd(types, vel, cfg, x0, gx)
-    vel = _forces_spmd(types, vel, cfg, x0)
-    if not cfg.reference_diffuse_noop:
-        vel = halo_inner(vstages.diffuse(halo_extend(types, 1),
-                                         halo_extend(vel, 1), cfg))
-    vel = halo_inner(vstages.apply_solids(halo_extend(types, 1),
-                                          halo_extend(vel, 1), cfg))
 
-    # 11-13: projection.  pressure_project's i_c != 0 test over the extended
-    # x range is safe: the excluded row is a discarded halo row, and the
-    # true x = 0 face is masked by the SOLID border anyway.
-    div = halo_inner(pressure.compute_divergence(halo_extend(vel, 1)))
+    if fuse_grid and lx >= 2:
+        # stages 08-11 fused (09 is the reference's no-op), 1-wide halos
+        from tpu_fluid.kernels.grid_fused import forces_solids_div_pallas
+        halos = (halo_planes(types, 1), halo_planes(vel, 1))
+        vel, div = forces_solids_div_pallas(
+            types, vel, cfg, halos=halos, x0=x0, global_gx=gx,
+            interpret=interpret)
+    else:
+        vel = _forces_spmd(types, vel, cfg, x0)
+        if not cfg.reference_diffuse_noop:
+            vel = halo_inner(vstages.diffuse(halo_extend(types, 1),
+                                             halo_extend(vel, 1), cfg))
+        vel = halo_inner(vstages.apply_solids(halo_extend(types, 1),
+                                              halo_extend(vel, 1), cfg))
+        # 11: the i_c != 0 test over the extended x range is safe: the
+        # excluded row is a discarded halo row, and the true x = 0 face is
+        # masked by the SOLID border anyway.
+        div = halo_inner(pressure.compute_divergence(halo_extend(vel, 1)))
+
+    # 12-13
     p = pressure.jacobi_solve(types, div, cfg, axis_name=AXIS)
-    vel = halo_inner(pressure.pressure_project(
-        halo_extend(types, 1), halo_extend(p, 1), halo_extend(vel, 1), cfg))
+    if fuse_grid and lx >= 2:
+        from tpu_fluid.kernels.grid_fused import project_pallas
+        halos = (halo_planes(types, 1), halo_planes(p, 1),
+                 halo_planes(vel, 1))
+        vel = project_pallas(types, p, vel, cfg, halos=halos, x0=x0,
+                             global_gx=gx, interpret=interpret)
+    else:
+        vel = halo_inner(pressure.pressure_project(
+            halo_extend(types, 1), halo_extend(p, 1), halo_extend(vel, 1),
+            cfg))
 
     # 14: particles are index-sharded and can be anywhere in space, so each
     # shard samples from the full velocity field (one all_gather over ICI);

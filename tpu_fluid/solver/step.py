@@ -29,6 +29,11 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
       11 divergence -> 12 Jacobi xN -> 13 project -> 14 move particles ->
       15 detail histogram -> 16 inertia -> 17 signed field -> 18 blur xM
     """
+    from tpu_fluid.kernels import pallas_choice
+    use_pallas, interpret = pallas_choice(cfg)
+    fuse_grid = (use_pallas and cfg.grid_fused
+                 and cfg.reference_diffuse_noop)
+
     old_types = state.cell_types
     vel = state.velocity
 
@@ -37,27 +42,46 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     # previous step (one scatter/step serves stages 01 and 15, since the
     # pipeline only consumes density > 0 — see stages/particles.py).
     occ_sim = particles.occupancy_to_sim_grid(state.detailed_occ, cfg)
-    new_types = celltypes.update_water(occ_sim)
-    new_types = celltypes.update_air(new_types, cfg)
 
-    # 04-05: velocity extrapolation into newly-active faces
-    extrapolated = vstages.compute_extrapolated_velocities(old_types, vel)
-    vel = vstages.set_extrapolated_velocities(old_types, new_types, vel,
-                                              extrapolated)
+    if fuse_grid:
+        # stages 02-06 in one Pallas pass (kernels/grid_fused.py)
+        from tpu_fluid.kernels.grid_fused import classify_extrap_pallas
+        types, vel = classify_extrap_pallas(occ_sim, old_types, vel, cfg,
+                                            interpret=interpret)
+    else:
+        new_types = celltypes.update_water(occ_sim)
+        new_types = celltypes.update_air(new_types, cfg)
+        # 04-05: velocity extrapolation into newly-active faces
+        extrapolated = vstages.compute_extrapolated_velocities(old_types,
+                                                               vel)
+        vel = vstages.set_extrapolated_velocities(old_types, new_types, vel,
+                                                  extrapolated)
+        # 06: the new classification becomes current
+        types = celltypes.commit_cell_types(new_types)
 
-    # 06: the new classification becomes current
-    types = celltypes.commit_cell_types(new_types)
-
-    # 07-10: advect, force, diffuse, solid-clamp
+    # 07: advect (its own Pallas/XLA dispatch)
     vel = vstages.advect(types, vel, cfg)
-    vel = vstages.apply_forces(types, vel, cfg)
-    vel = vstages.diffuse(types, vel, cfg)
-    vel = vstages.apply_solids(types, vel, cfg)
 
-    # 11-13: pressure projection
-    div = pressure.compute_divergence(vel)
+    if fuse_grid:
+        # stages 08-11 in one Pallas pass (09 is the reference's no-op)
+        from tpu_fluid.kernels.grid_fused import forces_solids_div_pallas
+        vel, div = forces_solids_div_pallas(types, vel, cfg,
+                                            interpret=interpret)
+    else:
+        # 08-10: force, diffuse, solid-clamp
+        vel = vstages.apply_forces(types, vel, cfg)
+        vel = vstages.diffuse(types, vel, cfg)
+        vel = vstages.apply_solids(types, vel, cfg)
+        # 11
+        div = pressure.compute_divergence(vel)
+
+    # 12-13: pressure solve + projection
     p = pressure.jacobi_solve(types, div, cfg)
-    vel = pressure.pressure_project(types, p, vel, cfg)
+    if fuse_grid:
+        from tpu_fluid.kernels.grid_fused import project_pallas
+        vel = project_pallas(types, p, vel, cfg, interpret=interpret)
+    else:
+        vel = pressure.pressure_project(types, p, vel, cfg)
 
     # 14: move particles through the projected field
     pos = particles.move_particles(vel, state.positions, state.active, cfg)

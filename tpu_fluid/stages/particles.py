@@ -95,8 +95,14 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
             from tpu_fluid.kernels.pack_table import build_packed_table_pallas
             from tpu_fluid.kernels.particle_sample import sample_and_move
             table = build_packed_table_pallas(vel, interpret=interpret)
+            # mode="clip": packed_row_indices is in-bounds by construction;
+            # the default fill mode adds a 1.5 ms select over the (P, 64)
+            # gather output (measured in the 128^3 trace; clip itself is
+            # free).  Indices stay UNPADDED: a pad fused into the gather
+            # knocks it off its fast path (7.9 -> 13.5 ms measured).
             rows = jnp.take(table, packed_row_indices(positions,
-                                                      cfg.grid_size), axis=0)
+                                                      cfg.grid_size),
+                            axis=0, mode="clip")
             new_t = sample_and_move(rows, positions.T, active,
                                     cfg.grid_size, cfg.dt,
                                     interpret=interpret)
