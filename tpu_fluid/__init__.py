@@ -12,6 +12,7 @@ Quick start:
 """
 
 from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.scene_fields import SceneFields
 from tpu_fluid.core.state import FluidState, initial_state
 from tpu_fluid.core.types import CellType
 from tpu_fluid.solver.step import jit_multi_step, jit_step, simulation_step
@@ -19,6 +20,7 @@ from tpu_fluid.solver.step import jit_multi_step, jit_step, simulation_step
 __all__ = [
     "FluidConfig",
     "FluidState",
+    "SceneFields",
     "CellType",
     "initial_state",
     "simulation_step",

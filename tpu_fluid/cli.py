@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render-method", type=str, default="splat",
                    choices=("splat", "native"),
                    help="device splat renderer or exact host rasterizer")
+    p.add_argument("--solid-npy", type=str, default=None,
+                   help="(X,Y,Z) bool/uint8 .npy of dynamic solid cells "
+                        "(core/scene_fields.SceneFields.solid)")
+    p.add_argument("--force-npy", type=str, default=None,
+                   help="(3,X,Y,Z) float32 .npy per-cell force field "
+                        "(core/scene_fields.SceneFields.force)")
     return p
 
 
@@ -160,6 +166,18 @@ def main(argv=None) -> int:
               flush=True)
     sim.render_surface = not args.no_surface
     sim.render_particles = not args.no_particles
+
+    if args.solid_npy or args.force_npy:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpu_fluid.core.scene_fields import SceneFields
+        sim.scene = SceneFields(
+            solid=(jnp.asarray(np.load(args.solid_npy).astype(np.uint8))
+                   if args.solid_npy else None),
+            force=(jnp.asarray(np.load(args.force_npy).astype(np.float32))
+                   if args.force_npy else None),
+        ).validate(sim.cfg)
 
     os.makedirs(args.out, exist_ok=True)
 

@@ -37,12 +37,15 @@ class Simulation:
     render_particles: bool = True     # reference render toggles (R/F keys)
     render_surface: bool = True
     max_surface_cells: Optional[int] = None
+    scene: "SceneFields" = None       # dynamic solids / force field
 
     def __post_init__(self):
         if self.state is None:
             self.state = initial_state(self.cfg)
         if self.camera is None:
             self.camera = Camera.for_scene(self.cfg.grid_size)
+        if self.scene is not None:
+            self.scene.validate(self.cfg)
 
     # ------------------------------------------------------------- stepping
     def step(self, n: int = 1) -> "Simulation":
@@ -52,9 +55,9 @@ class Simulation:
         if self.paused or n <= 0:
             return self
         if n == 1:
-            self.state = jit_step(self.state, self.cfg)
+            self.state = jit_step(self.state, self.cfg, self.scene)
         else:
-            self.state = jit_multi_step(self.state, self.cfg, n)
+            self.state = jit_multi_step(self.state, self.cfg, n, self.scene)
         return self
 
     def pause(self):

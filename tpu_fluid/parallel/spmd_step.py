@@ -60,7 +60,8 @@ def _solid_mask_spmd(local_shape, cfg: FluidConfig, x0) -> jnp.ndarray:
     return mask
 
 
-def _update_air_spmd(types: jnp.ndarray, cfg: FluidConfig, x0) -> jnp.ndarray:
+def _update_air_spmd(types: jnp.ndarray, cfg: FluidConfig, x0,
+                     extra_solid=None) -> jnp.ndarray:
     """Stage 03 on a local block: the water-neighbor test exchanges one
     halo plane; the border/obstacle SOLID rule uses global coordinates."""
     water = types == CellType.WATER
@@ -71,12 +72,14 @@ def _update_air_spmd(types: jnp.ndarray, cfg: FluidConfig, x0) -> jnp.ndarray:
     air = (~water) & halo_inner(around)
     out = jnp.where(air, jnp.uint8(CellType.AIR), types)
     solid = _solid_mask_spmd(types.shape, cfg, x0)
+    if extra_solid is not None:
+        solid = solid | (extra_solid != 0)   # dynamic solids (SceneFields)
     return jnp.where(solid, jnp.uint8(CellType.SOLID), out)
 
 
 # ------------------------------------------------------------------- forces
 def _forces_spmd(types: jnp.ndarray, vel: jnp.ndarray, cfg: FluidConfig,
-                 x0) -> jnp.ndarray:
+                 x0, force_field=None) -> jnp.ndarray:
     """Stage 08 on a local block (gravity + fountain + extra forces); the
     fountain / force cells are GLOBAL cell indices."""
     lx, gy, gz = types.shape
@@ -109,6 +112,17 @@ def _forces_spmd(types: jnp.ndarray, vel: jnp.ndarray, cfg: FluidConfig,
                 out = out.at[c].add(
                     jnp.where(cell & wet_c, cfg.dt * fvec[c], 0.0
                               ).astype(vel.dtype))
+
+    if force_field is not None:
+        # dynamic per-cell force field (SceneFields.force), local block;
+        # the c-direction wetness test needs one x halo plane for c = 0
+        water_e = halo_extend(water, 1)
+        for c in range(3):
+            mv = tuple(-1 if k == c else 0 for k in range(3))
+            wet_c = water | halo_inner(shifted(water_e, mv, fill=False))
+            out = out.at[c].add(
+                jnp.where(wet_c, cfg.dt * force_field[c], 0.0
+                          ).astype(vel.dtype))
     return out
 
 
@@ -187,13 +201,16 @@ def _blur_spmd(types: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
 
 # -------------------------------------------------------------- local step
 def _local_step(state: FluidState, cfg: FluidConfig,
-                n_shards: int) -> FluidState:
+                n_shards: int, scene=None) -> FluidState:
     """One frame on this shard's local blocks (runs inside shard_map).
-    Stage order identical to solver/step.simulation_step."""
+    Stage order identical to solver/step.simulation_step.  `scene` holds
+    x-slab local blocks of the dynamic SceneFields, if any."""
     from tpu_fluid.kernels import pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
     fuse_grid = (use_pallas and cfg.grid_fused
-                 and cfg.reference_diffuse_noop)
+                 and cfg.reference_diffuse_noop and scene is None)
+    scene_solid = scene.solid if scene is not None else None
+    scene_force = scene.force if scene is not None else None
 
     gx, gy, gz = cfg.grid_size
     lx = gx // n_shards
@@ -218,7 +235,8 @@ def _local_step(state: FluidState, cfg: FluidConfig,
             global_gx=gx, interpret=interpret)
     else:
         new_types = celltypes.update_water(occ_sim)
-        new_types = _update_air_spmd(new_types, cfg, x0)
+        new_types = _update_air_spmd(new_types, cfg, x0,
+                                     extra_solid=scene_solid)
         # 04-05: extrapolation (radius-1: 1-halo blocks, keep interior)
         ot_e = halo_extend(old_types, 1)
         nt_e = halo_extend(new_types, 1)
@@ -239,7 +257,8 @@ def _local_step(state: FluidState, cfg: FluidConfig,
             types, vel, cfg, halos=halos, x0=x0, global_gx=gx,
             interpret=interpret)
     else:
-        vel = _forces_spmd(types, vel, cfg, x0)
+        vel = _forces_spmd(types, vel, cfg, x0,
+                           force_field=scene_force)
         if not cfg.reference_diffuse_noop:
             vel = halo_inner(vstages.diffuse(halo_extend(types, 1),
                                              halo_extend(vel, 1), cfg))
@@ -355,12 +374,34 @@ def _check_vma(cfg: FluidConfig) -> bool:
     return not use_pallas
 
 
-def spmd_step(mesh: Mesh, cfg: FluidConfig, donate: bool = True):
+def scene_pspecs(scene):
+    """x-slab PartitionSpecs matching a SceneFields instance (None leaves
+    stay None)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_fluid.core.scene_fields import SceneFields
+    return SceneFields(
+        solid=None if scene.solid is None else P(AXIS),
+        force=None if scene.force is None else P(None, AXIS))
+
+
+def spmd_step(mesh: Mesh, cfg: FluidConfig, donate: bool = True,
+              scene=None):
     """A jitted step over the mesh: shard_map of the local step with the
-    canonical x-slab shardings (parallel/mesh.state_pspecs)."""
+    canonical x-slab shardings (parallel/mesh.state_pspecs).
+
+    With `scene` (a SceneFields template — any instance with the right
+    fields present), the returned function takes (state, scene) and shards
+    the scene arrays as x-slabs alongside the state."""
     n = mesh.devices.size
     validate_spmd_config(cfg, n)
     specs = state_pspecs()
+    if scene is not None:
+        fn = jax.shard_map(
+            lambda s, sc: _local_step(s, cfg, n, scene=sc),
+            mesh=mesh, in_specs=(specs, scene_pspecs(scene)),
+            out_specs=specs, check_vma=_check_vma(cfg))
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
     fn = jax.shard_map(
         functools.partial(_local_step, cfg=cfg, n_shards=n),
         mesh=mesh, in_specs=(specs,), out_specs=specs,

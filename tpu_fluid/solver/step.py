@@ -20,7 +20,8 @@ from tpu_fluid.stages import celltypes, particles, pressure, surface_fields
 from tpu_fluid.stages import velocity as vstages
 
 
-def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
+def simulation_step(state: FluidState, cfg: FluidConfig,
+                    scene=None) -> FluidState:
     """One frame, stage order exactly as the reference's step section list
     (`fluid_flow_sections.h:159-391`; SURVEY.md §3.2):
 
@@ -32,7 +33,9 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
     from tpu_fluid.kernels import pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
     fuse_grid = (use_pallas and cfg.grid_fused
-                 and cfg.reference_diffuse_noop)
+                 and cfg.reference_diffuse_noop and scene is None)
+    scene_solid = scene.solid if scene is not None else None
+    scene_force = scene.force if scene is not None else None
 
     old_types = state.cell_types
     vel = state.velocity
@@ -50,7 +53,8 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
                                             interpret=interpret)
     else:
         new_types = celltypes.update_water(occ_sim)
-        new_types = celltypes.update_air(new_types, cfg)
+        new_types = celltypes.update_air(new_types, cfg,
+                                         extra_solid=scene_solid)
         # 04-05: velocity extrapolation into newly-active faces
         extrapolated = vstages.compute_extrapolated_velocities(old_types,
                                                                vel)
@@ -69,7 +73,8 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
                                             interpret=interpret)
     else:
         # 08-10: force, diffuse, solid-clamp
-        vel = vstages.apply_forces(types, vel, cfg)
+        vel = vstages.apply_forces(types, vel, cfg,
+                                   force_field=scene_force)
         vel = vstages.diffuse(types, vel, cfg)
         vel = vstages.apply_solids(types, vel, cfg)
         # 11
@@ -110,19 +115,21 @@ def simulation_step(state: FluidState, cfg: FluidConfig) -> FluidState:
 
 
 @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
-def jit_step(state: FluidState, cfg: FluidConfig) -> FluidState:
+def jit_step(state: FluidState, cfg: FluidConfig,
+             scene=None) -> FluidState:
     """Jitted single step with full state donation (keeps memory flat, the
-    TPU analogue of the reference's in-place image updates)."""
-    return simulation_step(state, cfg)
+    TPU analogue of the reference's in-place image updates).  `scene` is an
+    optional core/scene_fields.SceneFields (dynamic solids / force field)."""
+    return simulation_step(state, cfg, scene)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
 def jit_multi_step(state: FluidState, cfg: FluidConfig,
-                   n_steps: int) -> FluidState:
+                   n_steps: int, scene=None) -> FluidState:
     """n frames in one XLA program (lax.scan over the step); host touches the
     device once per n frames, mirroring how the reference's host only submits
     command buffers (`main.cpp:176`)."""
     def body(s, _):
-        return simulation_step(s, cfg), None
+        return simulation_step(s, cfg, scene), None
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out

@@ -37,7 +37,7 @@ def solid_mask(shape, cfg=None) -> jnp.ndarray:
     return mask
 
 
-def update_air(types: jnp.ndarray, cfg=None) -> jnp.ndarray:
+def update_air(types: jnp.ndarray, cfg=None, extra_solid=None) -> jnp.ndarray:
     """Stage 03: static solid cells (border + obstacles) become SOLID;
     non-water interior cells with >=1 of 6 neighbors WATER become AIR
     (`update_active.comp:45-66`).
@@ -49,6 +49,10 @@ def update_air(types: jnp.ndarray, cfg=None) -> jnp.ndarray:
     is overridden to SOLID regardless).
     """
     solid = solid_mask(types.shape, cfg)
+    if extra_solid is not None:
+        # dynamic per-cell solids (core/scene_fields.SceneFields.solid) —
+        # the reference's future-work "solid boolean texture"
+        solid = solid | (extra_solid != 0)
 
     water = types == CellType.WATER
     water_around = jnp.zeros_like(water)

@@ -236,7 +236,7 @@ def advect_shift(types: jnp.ndarray, vel: jnp.ndarray,
 
 
 def apply_forces(types: jnp.ndarray, vel: jnp.ndarray,
-                 cfg: FluidConfig) -> jnp.ndarray:
+                 cfg: FluidConfig, force_field=None) -> jnp.ndarray:
     """Stage 08: gravity on active y-faces plus the fountain impulse
     (`08_forces/forces.comp:33-55`).  +y is down in the reference scene
     (camera up is {0,-1,0}, main.cpp:128)."""
@@ -264,6 +264,17 @@ def apply_forces(types: jnp.ndarray, vel: jnp.ndarray,
             wet_c = water | shifted(water, mv, fill=False)
             out = out.at[c].add(
                 jnp.where(cell & wet_c, cfg.dt * fvec[c], 0.0
+                          ).astype(vel.dtype))
+
+    if force_field is not None:
+        # dynamic per-cell force field (core/scene_fields.SceneFields.force)
+        # — the reference's future-work "force vector texture"; component c
+        # lands on the cell's face c under the same wetness rule as gravity
+        for c in range(3):
+            mv = tuple(-1 if k == c else 0 for k in range(3))
+            wet_c = water | shifted(water, mv, fill=False)
+            out = out.at[c].add(
+                jnp.where(wet_c, cfg.dt * force_field[c], 0.0
                           ).astype(vel.dtype))
     return out
 
