@@ -95,6 +95,19 @@ class FluidConfig:
     # particle occupancy is still maintained (it drives cell typing)
     surface_enabled: bool = True
 
+    # --- beyond-reference physics (reference README future work) -------------
+    # Volume-conservation drift (stages/volume.py): particles drift down the
+    # cell-density gradient at k * (count difference) per wet face, clamped
+    # to +-volume_drift_max (velocity units).  0 = off = reference behavior
+    # (whose fluid volume slowly expands, README.md:147-149).
+    volume_correction: float = 0.0
+    volume_drift_max: float = 2.0
+    # Target particles-per-cell for the drift; None derives the initial
+    # cube's density (particle_count / cube volume in cells).
+    volume_target_density: float | None = None
+    # Jacobi iterations of the density-projection Poisson solve.
+    volume_jacobi_iters: int = 60
+
     # --- faithfulness switches ------------------------------------------------
     # The reference's diffusion stage (09_diffuse/diffuse.comp:40) assigns the
     # diffused value to a scope-shadowed local, so the stage is effectively a
@@ -152,6 +165,16 @@ class FluidConfig:
             return self.fountain_position
         w, h, d = self.grid_size
         return (w // 2, h - 2, d // 2)
+
+    @property
+    def volume_target_density_value(self) -> float:
+        """Particles-per-cell target for the volume drift: the explicit
+        override, else the initial cube's mean density."""
+        if self.volume_target_density is not None:
+            return float(self.volume_target_density)
+        sx, sy, sz = self.particle_init_cube_size
+        vol = max(sx * sy * sz, 1e-6)
+        return float(self.particle_count) / vol
 
     @property
     def detailed_size(self) -> Tuple[int, int, int]:

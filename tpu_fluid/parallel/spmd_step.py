@@ -287,6 +287,19 @@ def _local_step(state: FluidState, cfg: FluidConfig,
     # the packed-table build + row gather + Pallas sample then run on the
     # local 1/n-th of the particles — the request-bound work divides by n.
     vel_full = jax.lax.all_gather(vel, AXIS, axis=1, tiled=True)
+    if cfg.volume_correction > 0.0:
+        # volume-conservation drift (stages/volume.py): local-subset
+        # histogram on the full grid, psum'd to global counts; the drift
+        # field is computed replicated (types all_gather is 1/4 the size of
+        # the velocity one) and added for sampling only
+        from tpu_fluid.ops.scatter import particle_cell_histogram
+        from tpu_fluid.stages.volume import density_drift
+        counts = particle_cell_histogram(state.positions, state.active,
+                                         cfg.grid_size)
+        counts = jax.lax.psum(counts, AXIS)
+        types_full = jax.lax.all_gather(types, AXIS, axis=0, tiled=True)
+        vel_full = vel_full + density_drift(counts, types_full, cfg,
+                                    vma_axis=AXIS)
     pos = particles.move_particles(vel_full, state.positions, state.active,
                                    cfg)
 

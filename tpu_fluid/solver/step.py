@@ -88,8 +88,15 @@ def simulation_step(state: FluidState, cfg: FluidConfig,
     else:
         vel = pressure.pressure_project(types, p, vel, cfg)
 
-    # 14: move particles through the projected field
-    pos = particles.move_particles(vel, state.positions, state.active, cfg)
+    # 14: move particles through the projected field (plus the optional
+    # volume-conservation drift, sampling-only — stages/volume.py)
+    move_vel = vel
+    if cfg.volume_correction > 0.0:
+        from tpu_fluid.stages.volume import corrected_move_velocity
+        move_vel = corrected_move_velocity(vel, state.positions,
+                                           state.active, types, cfg)
+    pos = particles.move_particles(move_vel, state.positions, state.active,
+                                   cfg)
 
     # 15-18: surface field update (occupancy scatter on the moved particles;
     # also consumed by the next frame's stage 01)

@@ -74,6 +74,26 @@ def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
     local blocks and each sweep (XLA path) or K-sweep pass (Pallas path)
     exchanges boundary planes with the x-neighbor shards via ppermute.
     """
+    b = div.astype(jnp.float32) * (cfg.fluid_density * cfg.cell_width / cfg.dt)
+    iters = cfg.jacobi_iters - (1 if cfg.reference_pressure_parity else 0)
+    return poisson_solve(types, b, cfg, iters=iters,
+                         boundary_value=cfg.air_pressure,
+                         axis_name=axis_name)
+
+
+def poisson_solve(types: jnp.ndarray, rhs: jnp.ndarray, cfg: FluidConfig,
+                  iters: int, boundary_value: float,
+                  axis_name: str | None = None,
+                  vma_axis: str | None = None) -> jnp.ndarray:
+    """The stage-12 Jacobi machinery with an arbitrary right-hand side and
+    non-water boundary value:  on WATER cells with aii > 0,
+
+        p = (sum_{water nbrs} p + n_air * boundary_value - rhs) / aii
+
+    iterated `iters` times from p0 = boundary_value.  `jacobi_solve` is the
+    reference pressure instance (rhs = div * rho * dx / dt); the volume
+    projection (stages/volume.py) reuses it with rhs = density error and a
+    zero boundary."""
     from tpu_fluid.kernels import pallas_choice
 
     if axis_name is not None:
@@ -86,16 +106,19 @@ def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
                              halo_inner(n_air))
     else:
         water, aii, n_air = jacobi_stats(types, cfg)
-    b = div.astype(jnp.float32) * (cfg.fluid_density * cfg.cell_width / cfg.dt)
-    const = n_air * cfg.air_pressure - b
+    const = n_air * boundary_value - rhs.astype(jnp.float32)
     denom = jnp.maximum(aii, 1.0)
     update_mask = water & (aii > 0)
-    iters = cfg.jacobi_iters - (1 if cfg.reference_pressure_parity else 0)
-    p0 = jnp.full(types.shape, cfg.air_pressure, dtype=jnp.float32)
+    p0 = jnp.full(types.shape, boundary_value, dtype=jnp.float32)
     if axis_name is not None:
         # the loop carry must be marked shard-varying up front (the sweeps'
         # ppermute outputs are), or shard_map's VMA check rejects the loop
         p0 = jax.lax.pcast(p0, axis_name, to="varying")
+    elif vma_axis is not None:
+        # replicated full-grid solve INSIDE shard_map (the volume
+        # projection's case): the constants derive from psum/all_gather
+        # outputs typed varying, so the carry must be too
+        p0 = jax.lax.pcast(p0, vma_axis, to="varying")
 
     use_pallas, interpret = pallas_choice(cfg)
     if use_pallas:
