@@ -90,3 +90,32 @@ def test_full_step_with_interpret_pallas_matches_off():
                                   np.asarray(s_int.inertia))
     np.testing.assert_allclose(np.asarray(s_off.float_dens_1),
                                np.asarray(s_int.float_dens_1), atol=1e-5)
+
+
+def test_slab_tx_always_feasible():
+    """_slab_tx must terminate for awkward grid extents (512 has no
+    divisor in [h, clamped-tx]; 121 = 11^2 has none <= 8)."""
+    from tpu_fluid.kernels.surface_fused import _slab_tx
+    assert 512 % _slab_tx(512, 512, 512, 5, 8) == 0
+    assert 121 % _slab_tx(121, 64, 64, 5, 8) == 0
+    t = _slab_tx(121, 64, 64, 5, 8)
+    assert t >= 5
+
+
+def test_large_plane_falls_back_to_jnp(monkeypatch):
+    """Above MAX_PLANE the dispatcher must not call the Pallas kernel."""
+    import tpu_fluid.stages.surface_fields as sf
+    from tpu_fluid.core.config import FluidConfig
+    cfg = FluidConfig(grid_size=(8, 170, 170), surface_render_resolution=2,
+                      pallas_mode="interpret")   # detailed plane 340^2 > MAX
+    d = cfg.detailed_size
+    occ = jnp.zeros(d, jnp.uint8)
+    inertia = jnp.zeros(d, jnp.int32)
+    f2 = jnp.zeros(d, jnp.float32)
+    types = jnp.zeros(cfg.grid_size, jnp.uint8)
+
+    def boom(*a, **k):
+        raise AssertionError("fused kernel must not run on large planes")
+    monkeypatch.setattr("tpu_fluid.kernels.surface_fused."
+                        "surface_fused_pallas", boom)
+    sf.update_surface_fields(types, occ, inertia, f2, cfg)  # no raise

@@ -107,6 +107,16 @@ class FluidConfig:
     volume_target_density: float | None = None
     # Jacobi iterations of the density-projection Poisson solve.
     volume_jacobi_iters: int = 60
+    # Surface-field construction: "inertia" = the reference's stages 16-18;
+    # "levelset" = rebuilt-per-frame chamfer level set (surface/levelset.py)
+    # — hole-free at high surface_render_resolution by construction.
+    surface_method: str = "inertia"
+    # Surface offset outside particles in detailed cells; None = auto,
+    # 1.6 * mean inter-particle spacing (the 1.6 bridges the chamfer's
+    # Manhattan metric to diagonal gaps — tuned on the r=5 hole benchmark).
+    levelset_iso: float | None = None
+    levelset_sweeps: int | None = None   # chamfer band; None = ceil(iso)+2
+    levelset_smooth: int = 2             # box-blur passes on the field
 
     # --- faithfulness switches ------------------------------------------------
     # The reference's diffusion stage (09_diffuse/diffuse.comp:40) assigns the
@@ -175,6 +185,20 @@ class FluidConfig:
         sx, sy, sz = self.particle_init_cube_size
         vol = max(sx * sy * sz, 1e-6)
         return float(self.particle_count) / vol
+
+    @property
+    def levelset_iso_value(self) -> float:
+        if self.levelset_iso is not None:
+            return float(self.levelset_iso)
+        spacing = (self.surface_render_resolution
+                   / max(self.volume_target_density_value, 1e-6) ** (1 / 3))
+        return max(0.8, 1.6 * spacing)
+
+    @property
+    def levelset_sweeps_value(self) -> int:
+        if self.levelset_sweeps is not None:
+            return int(self.levelset_sweeps)
+        return int(-(-self.levelset_iso_value // 1)) + 2
 
     @property
     def detailed_size(self) -> Tuple[int, int, int]:

@@ -118,12 +118,19 @@ def _surface_kernel(x0_ref, occ_p, occ_c, occ_n, in_p, in_c, in_n,
     f2_out[...] = b[h:h + tx]
 
 
+MAX_PLANE = 98304   # gy*gz above which the slab working set exceeds VMEM
+
+
 def _slab_tx(gx: int, gy: int, gz: int, h: int, tx: int) -> int:
     """Slab rows per program: the working set is ~8 live (tx+2h, gy, gz)
-    f32 temporaries; shrink tx on large planes."""
+    f32 temporaries; shrink tx on large planes.  Falls back to the smallest
+    divisor of gx >= h when nothing in [h, tx] divides (e.g. gx = 121)."""
     tx = max(h, min(tx, max(h, 524288 // (gy * gz))))
     if gx % tx != 0:
-        tx = next(t for t in range(min(tx, gx), h - 1, -1) if gx % t == 0)
+        tx = next((t for t in range(min(tx, gx), h - 1, -1)
+                   if gx % t == 0), None)
+        if tx is None:
+            tx = next(t for t in range(h, gx + 1) if gx % t == 0)
     return tx
 
 

@@ -208,7 +208,8 @@ def _local_step(state: FluidState, cfg: FluidConfig,
     from tpu_fluid.kernels import pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
     fuse_grid = (use_pallas and cfg.grid_fused
-                 and cfg.reference_diffuse_noop and scene is None)
+                 and cfg.reference_diffuse_noop and scene is None
+                 and cfg.grid_size[1] * cfg.grid_size[2] <= 98304)
     scene_solid = scene.solid if scene is not None else None
     scene_force = scene.force if scene is not None else None
 
@@ -312,13 +313,27 @@ def _local_step(state: FluidState, cfg: FluidConfig,
     occ = (counts > 0).astype(jnp.uint8)
 
     # 16-18
-    if cfg.surface_enabled:
+    if cfg.surface_enabled and cfg.surface_method == "levelset":
+        # rebuilt-per-frame chamfer level set (surface/levelset.py) on a
+        # halo-extended block: the band resolves sweeps+smooth cells, so
+        # that halo width makes central rows bitwise-identical
+        from tpu_fluid.surface.levelset import levelset_field
+        r = cfg.surface_render_resolution
+        hs = cfg.levelset_sweeps_value + cfg.levelset_smooth
+        ht = -(-hs // r)                        # sim-cell halo
+        f_e = levelset_field(halo_extend(types, ht),
+                             halo_extend(occ, ht * r), cfg)
+        f1 = f2 = halo_inner(f_e, ht * r)
+        inertia = state.inertia
+    elif cfg.surface_enabled:
         from tpu_fluid.kernels import pallas_choice
         use_pallas, interpret = pallas_choice(cfg)
         r = cfg.surface_render_resolution
         h = cfg.float_density_diffuse_steps + 1
         lx_det = types.shape[0] * r
-        if use_pallas and lx_det >= h:
+        from tpu_fluid.kernels.surface_fused import MAX_PLANE
+        dy, dz = occ.shape[1], occ.shape[2]
+        if use_pallas and lx_det >= h and dy * dz <= MAX_PLANE:
             # fused Pallas kernel on the local detailed slab: one h-wide
             # halo exchange (h = blur_steps + 1) replaces the per-stage /
             # per-pass exchanges; central rows are bitwise-identical to the

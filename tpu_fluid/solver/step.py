@@ -33,7 +33,8 @@ def simulation_step(state: FluidState, cfg: FluidConfig,
     from tpu_fluid.kernels import pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
     fuse_grid = (use_pallas and cfg.grid_fused
-                 and cfg.reference_diffuse_noop and scene is None)
+                 and cfg.reference_diffuse_noop and scene is None
+                 and cfg.grid_size[1] * cfg.grid_size[2] <= 98304)
     scene_solid = scene.solid if scene is not None else None
     scene_force = scene.force if scene is not None else None
 

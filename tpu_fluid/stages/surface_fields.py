@@ -93,11 +93,21 @@ def update_surface_fields(types: jnp.ndarray, occ: jnp.ndarray,
     (inertia', f1', f2').
 
     Dispatches to the fused Pallas kernel (one HBM pass over the detailed
-    grid) per cfg.pallas_mode, else composes the three jnp stages.
+    grid) per cfg.pallas_mode, else composes the three jnp stages.  With
+    cfg.surface_method == "levelset" the inertia/blur machinery is replaced
+    by the rebuilt-per-frame chamfer level set (surface/levelset.py);
+    inertia is carried through unchanged.
     """
+    if cfg.surface_method == "levelset":
+        from tpu_fluid.surface.levelset import levelset_field
+        f = levelset_field(types, occ, cfg)
+        return inertia, f, f
+
     from tpu_fluid.kernels import pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
-    if use_pallas:
+    dy, dz = occ.shape[1], occ.shape[2]
+    from tpu_fluid.kernels.surface_fused import MAX_PLANE
+    if use_pallas and dy * dz <= MAX_PLANE:
         from tpu_fluid.kernels.surface_fused import surface_fused_pallas
         skip = solid_parent_mask(types, cfg).astype(jnp.uint8)
         return surface_fused_pallas(
