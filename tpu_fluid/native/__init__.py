@@ -27,8 +27,8 @@ def build_library(force: bool = False) -> str:
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-         "-o", _LIB],
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+         _SRC, "-o", _LIB],
         check=True, capture_output=True)
     return _LIB
 
