@@ -35,3 +35,45 @@ def test_400_steps_stable():
         assert (t[0] == CellType.SOLID).all()
     assert int(state.step) == 400
     assert int(state.active.sum()) == 4000
+
+
+def test_longrun_all_features_combined():
+    """150 steps with every beyond-reference feature on at once: dynamic
+    scene fields, volume projection, level-set surface — stability and
+    invariants hold together, not just individually."""
+    import numpy as np
+    import jax
+
+    from tpu_fluid.core.config import FluidConfig
+    from tpu_fluid.core.scene_fields import (SceneFields, solid_sphere,
+                                             uniform_force)
+    from tpu_fluid.core.state import initial_state
+    from tpu_fluid.core.types import CellType
+    from tpu_fluid.solver.step import jit_multi_step
+
+    cfg = FluidConfig(
+        grid_size=(20, 20, 20), particle_count=8192,
+        particle_init_cube_resolution=(32, 16, 16),
+        particle_init_cube_offset=(3.0, 10.0, 3.0),
+        particle_init_cube_size=(14.0, 6.0, 14.0),
+        surface_render_resolution=2, jacobi_iters=40,
+        advect_max_displacement=1,
+        volume_correction=1.0,
+        surface_method="levelset",
+    )
+    scene = SceneFields(solid=solid_sphere(cfg, (10, 15, 10), 2),
+                        force=uniform_force(cfg, (30.0, 0.0, 0.0))
+                        ).validate(cfg)
+    state = initial_state(cfg)
+    state = jit_multi_step(state, cfg, 150, scene)
+
+    pos = np.asarray(state.positions)
+    act = np.asarray(state.active) > 0
+    assert np.isfinite(pos).all()
+    assert act.sum() == 32 * 16 * 16           # particles conserved
+    assert (pos[act] >= 0).all() and (pos[act] <= 20).all()
+    t = np.asarray(state.cell_types)
+    sph = np.asarray(scene.solid) != 0
+    assert (t[sph] == CellType.SOLID).all()
+    f = np.asarray(state.float_dens_1)
+    assert np.isfinite(f).all()

@@ -90,11 +90,15 @@ def test_correction_holds_density_and_volume():
     assert cells_corr < cells_plain
 
 
-def test_spmd_volume_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["off", "interpret"])
+def test_spmd_volume_matches_single_device(mode):
     from tpu_fluid.parallel.mesh import make_mesh, shard_state
     from tpu_fluid.parallel.spmd_step import spmd_step
 
-    cfg = _cfg(grid_size=(32, 16, 16), pallas_mode="off",
+    cfg = _cfg(grid_size=(32, 16, 16), pallas_mode=mode,
                volume_correction=0.03,
                particle_count=4096,
                particle_init_cube_resolution=(16, 16, 16),
