@@ -155,6 +155,12 @@ class FluidConfig:
     # interpreter (any backend) — how CPU-mesh tests exercise the exact
     # TPU kernel code paths under multi-device sharding.
     pallas_mode: str = "auto"             # "auto" | "on" | "interpret" | "off"
+    # Pressure solver: "jacobi" reproduces the reference exactly (and has
+    # the K-fused Pallas fast path); "redblack" is Gauss-Seidel red-black —
+    # ~2x convergence per sweep, XLA formulation only: jacobi_iters=100
+    # redblack matches 200 plain Jacobi on residual
+    # (tests/test_redblack.py).
+    pressure_solver: str = "jacobi"
     # Fused sim-grid stage groups (kernels/grid_fused.py: 02-06, 08-11, 13)
     # as Pallas kernels instead of the jnp stages.  Default OFF: measured
     # slightly slower single-chip (46.6 vs 47.9 steps/s at the 128^3 bench —
