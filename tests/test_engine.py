@@ -155,6 +155,23 @@ def test_cli_set_rejects_bad_tuple_values():
     assert config_from_args(args).solid_boxes == (((2, 2, 2), (4, 4, 4)),)
 
 
+def test_cli_set_none_default_scalar_fields():
+    """None-default SCALAR fields (levelset_iso, volume_target_density,
+    levelset_sweeps) must accept bare numbers and 'none'."""
+    from tpu_fluid.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["--grid", "12", "--set", "levelset_iso=2.5",
+         "--set", "levelset_sweeps=7",
+         "--set", "volume_target_density=8.0"])
+    cfg = config_from_args(args)
+    assert cfg.levelset_iso == 2.5
+    assert cfg.levelset_sweeps == 7
+    assert cfg.volume_target_density == 8.0
+    args = build_parser().parse_args(
+        ["--grid", "12", "--set", "levelset_iso=none"])
+    assert config_from_args(args).levelset_iso is None
+
+
 def test_cli_nested_config_overrides(tmp_path):
     """JSON list overrides must deep-convert to tuples (config is a jit
     static arg and must stay hashable)."""

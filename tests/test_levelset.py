@@ -89,6 +89,37 @@ def test_no_holes_at_high_subdivision():
     assert holes["levelset"] < holes["inertia"] // 1000
 
 
+def test_spmd_levelset_tiny_slab_matches_single_device():
+    """When the chamfer band halo exceeds the local slab width (here
+    lx_det = 4 < band 8), the SPMD step must fall back to the replicated
+    computation instead of silently producing empty/corrupt fields (the
+    bug: halo_planes returns fewer planes than requested)."""
+    from tpu_fluid.parallel.mesh import make_mesh, shard_state
+    from tpu_fluid.parallel.spmd_step import spmd_step
+
+    cfg = _cfg(grid_size=(16, 16, 16), pallas_mode="off",
+               surface_method="levelset", particle_count=4096,
+               particle_init_cube_resolution=(16, 16, 16),
+               particle_init_cube_offset=(3.0, 3.0, 3.0),
+               particle_init_cube_size=(10.0, 5.0, 10.0))
+    assert cfg.levelset_sweeps_value + cfg.levelset_smooth > \
+        (16 // 8) * cfg.surface_render_resolution
+    ref = initial_state(cfg)
+    stepf = jax.jit(simulation_step, static_argnums=1)
+    for _ in range(2):
+        ref = stepf(ref, cfg)
+
+    mesh = make_mesh(8)
+    sharded = shard_state(initial_state(cfg), mesh)
+    stepn = spmd_step(mesh, cfg, donate=False)
+    for _ in range(2):
+        sharded = stepn(sharded)
+    a = np.asarray(jax.device_get(ref.float_dens_1))
+    b = np.asarray(jax.device_get(sharded.float_dens_1))
+    assert a.shape == b.shape and a.size > 0
+    np.testing.assert_array_equal(a, b)
+
+
 def test_spmd_levelset_matches_single_device():
     from tpu_fluid.parallel.mesh import make_mesh, shard_state
     from tpu_fluid.parallel.spmd_step import spmd_step

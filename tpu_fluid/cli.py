@@ -126,7 +126,24 @@ def config_from_args(args):
                         v = int(v)
                     elif isinstance(cur, float):
                         v = float(v)
-                    elif isinstance(cur, tuple) or cur is None:
+                    elif cur is None:
+                        # None-default fields may be tuples
+                        # (fountain_position) or scalars (levelset_iso,
+                        # volume_target_density, ...): accept JSON/comma
+                        # lists, "none"/"null", or a bare number
+                        if v.lower() in ("none", "null"):
+                            v = None
+                        elif v.startswith(("[", "(")):
+                            v = deep_tuple(json.loads(v.replace("(", "[")
+                                                      .replace(")", "]")))
+                        elif "," in v:
+                            v = deep_tuple(json.loads(f"[{v}]"))
+                        else:
+                            try:
+                                v = int(v)
+                            except ValueError:
+                                v = float(v)
+                    elif isinstance(cur, tuple):
                         # tuple-valued fields accept JSON ([12,18,12]) or
                         # bare comma lists (12,18,12); anything else is a
                         # parse-time error, not a later jit failure
@@ -151,8 +168,6 @@ def config_from_args(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from tpu_fluid.engine import Simulation
-    from tpu_fluid.render.export import write_obj
-    from tpu_fluid.surface.marching_cubes import mesh_to_numpy
 
     if args.resume:
         sim = Simulation.load(args.resume)
@@ -181,53 +196,23 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
 
-    def dump_mesh(done):
-        mesh = sim.surface_mesh()
-        tris, normals = mesh_to_numpy(mesh)
-        path = os.path.join(args.out, f"mesh_{done:06d}.obj")
-        write_obj(path, tris, normals)
-        print(f"wrote {path} ({len(tris)} triangles)", flush=True)
-
     if args.video and not args.frame_every:
         raise SystemExit("--video requires --frame-every")
 
     t0 = time.time()
-    video_frames = []
-    center = tuple(g / 2.0 for g in sim.cfg.grid_size)
-    done = 0
-    while done < args.steps:
-        chunk = args.steps - done
-        for cadence in (args.frame_every, args.log_every, args.mesh_every,
-                        args.checkpoint_every):
-            if cadence:
-                rem = cadence - (done % cadence)
-                chunk = min(chunk, rem)
-        sim.step(chunk)
-        done += chunk
-        if args.log_every and done % args.log_every == 0:
-            from tpu_fluid.utils.diagnostics import format_diagnostics
-            print(format_diagnostics(sim.diagnostics()), flush=True)
-        if args.frame_every and done % args.frame_every == 0:
-            import numpy as np
-            from tpu_fluid.render.export import write_png
-            if args.orbit_deg:
-                sim.camera = sim.camera.orbit(args.orbit_deg, center)
-            img = np.asarray(sim.render_frame(args.width, args.height,
-                                              method=args.render_method))
-            write_png(os.path.join(args.out, f"frame_{done:06d}.png"), img)
-            if args.video:
-                video_frames.append(img)
-        if args.mesh_every and done % args.mesh_every == 0:
-            dump_mesh(done)
-        if args.checkpoint_every and done % args.checkpoint_every == 0:
-            sim.save(os.path.join(args.out, "checkpoint.npz"))
-    if args.video and video_frames:
-        from tpu_fluid.render.export import write_gif
-        write_gif(args.video, video_frames, fps=args.video_fps)
-        print(f"wrote {args.video} ({len(video_frames)} frames)", flush=True)
+    sim.run(args.steps,
+            frame_every=args.frame_every, frame_dir=args.out,
+            width=args.width, height=args.height,
+            log_every=args.log_every,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
+            video_path=args.video, video_fps=args.video_fps,
+            orbit_deg_per_frame=args.orbit_deg,
+            render_method=args.render_method,
+            mesh_every=args.mesh_every)
     dt = time.time() - t0
-    import jax
-    jax.block_until_ready(sim.state.positions)
+    import numpy as np
+    np.asarray(sim.state.positions[:1])    # force completion for timing
     print(f"{args.steps} steps in {dt:.2f}s "
           f"({args.steps / dt:.1f} steps/s incl. host work)", flush=True)
     return 0

@@ -185,12 +185,21 @@ class FluidConfig:
     @property
     def volume_target_density_value(self) -> float:
         """Particles-per-cell target for the volume drift: the explicit
-        override, else the initial cube's mean density."""
+        override, else the mean density of the initial particle bodies
+        (ACTIVE particles over total cube volume — multi-blob scenes spawn
+        prod(resolution) ids per cube, and leftover ids stay inactive)."""
         if self.volume_target_density is not None:
             return float(self.volume_target_density)
-        sx, sy, sz = self.particle_init_cube_size
-        vol = max(sx * sy * sz, 1e-6)
-        return float(self.particle_count) / vol
+        cubes = ((self.particle_init_cube_resolution,
+                  self.particle_init_cube_size),) + tuple(
+            (res, size) for res, _off, size in self.extra_particle_cubes)
+        active = 0
+        vol = 0.0
+        for res, size in cubes:
+            active += res[0] * res[1] * res[2]
+            vol += size[0] * size[1] * size[2]
+        active = min(active, self.particle_count)
+        return float(active) / max(vol, 1e-6)
 
     @property
     def levelset_iso_value(self) -> float:

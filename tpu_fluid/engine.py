@@ -135,23 +135,27 @@ class Simulation:
             on_frame: Optional[Callable] = None,
             video_path: Optional[str] = None, video_fps: int = 25,
             orbit_deg_per_frame: float = 0.0,
-            save_frames: bool = True):
-        """The headless main loop.
+            save_frames: bool = True,
+            render_method: str = "splat",
+            mesh_every: int = 0, mesh_dir: Optional[str] = None):
+        """The headless main loop (also what the CLI drives).
 
         With `video_path`, every rendered frame is also collected into an
         animated GIF written at the end — the headless counterpart of the
         reference's real-time window + demo video (`README.md:49-55`).
         `orbit_deg_per_frame` rotates the camera about the scene center
         between frames (the reference's interactive fly camera as a scripted
-        path).
+        path).  `mesh_every` dumps the marching-cubes surface as OBJ into
+        `mesh_dir` (default `frame_dir`).
         """
-        from tpu_fluid.render.export import write_gif, write_png
+        from tpu_fluid.render.export import write_gif, write_obj, write_png
         center = tuple(g / 2.0 for g in self.cfg.grid_size)
         frames = []
         done = 0
         while done < n_steps:
             chunk = n_steps - done
-            for cadence in (frame_every, log_every, checkpoint_every):
+            for cadence in (frame_every, log_every, checkpoint_every,
+                            mesh_every):
                 if cadence:
                     chunk = min(chunk, cadence - (done % cadence) or cadence)
             self.step(chunk)
@@ -162,8 +166,8 @@ class Simulation:
                 if orbit_deg_per_frame:
                     self.camera = self.camera.orbit(orbit_deg_per_frame,
                                                     center)
-                img = np.asarray(jax.device_get(self.render_frame(width,
-                                                                  height)))
+                img = np.asarray(jax.device_get(
+                    self.render_frame(width, height, method=render_method)))
                 if video_path:
                     frames.append(img)
                 if save_frames:
@@ -171,8 +175,16 @@ class Simulation:
                     write_png(path, img)
                     if on_frame:
                         on_frame(path, img)
+            if mesh_every and done % mesh_every == 0:
+                from tpu_fluid.surface.marching_cubes import mesh_to_numpy
+                tris, normals = mesh_to_numpy(self.surface_mesh())
+                path = os.path.join(mesh_dir or frame_dir,
+                                    f"mesh_{done:06d}.obj")
+                write_obj(path, tris, normals)
+                print(f"wrote {path} ({len(tris)} triangles)", flush=True)
             if checkpoint_every and done % checkpoint_every == 0:
                 self.save(checkpoint_path)
         if video_path and frames:
             write_gif(video_path, frames, fps=video_fps)
+            print(f"wrote {video_path} ({len(frames)} frames)", flush=True)
         return self

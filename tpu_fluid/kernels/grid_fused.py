@@ -107,6 +107,20 @@ def _solid_indicator(x, gy, gz, global_shape, solid_boxes):
     return s                 # (rows, gy, gz) via broadcasting
 
 
+
+def _make_asm(tx, h, gy, gz, dummy):
+    """Slab assembler shared by the three kernels: prev/cur/next block views
+    -> one (tx + 2h [+dummy], ...) slab, with 8-alignment dummy zero rows
+    beyond the halo (never reaching output rows)."""
+    def asm(prev, cur, nxt, vdim=False):
+        parts = [prev[..., tx - h:, :, :], cur[...], nxt[..., :h, :, :]]
+        if dummy:
+            zshape = ((3, dummy, gy, gz) if vdim else (dummy, gy, gz))
+            parts.append(jnp.zeros(zshape, dtype=cur.dtype))
+        return jnp.concatenate(parts, axis=1 if vdim else 0)
+    return asm
+
+
 # ------------------------------------------------------------- stages 02-06
 def _classify_extrap_kernel(x0_ref, occ_p, occ_c, occ_n, ot_p, ot_c, ot_n,
                             v_p, v_c, v_n, types_out, vel_out, *,
@@ -117,12 +131,7 @@ def _classify_extrap_kernel(x0_ref, occ_p, occ_c, occ_n, ot_p, ot_c, ot_n,
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    def asm(prev, cur, nxt, vdim=False):
-        parts = [prev[..., tx - h:, :, :], cur[...], nxt[..., :h, :, :]]
-        if dummy:
-            zshape = ((3, dummy, gy, gz) if vdim else (dummy, gy, gz))
-            parts.append(jnp.zeros(zshape, dtype=cur.dtype))
-        return jnp.concatenate(parts, axis=1 if vdim else 0)
+    asm = _make_asm(tx, h, gy, gz, dummy)
 
     occ = asm(occ_p, occ_c, occ_n).astype(jnp.int32)
     oldt = asm(ot_p, ot_c, ot_n).astype(jnp.int32)
@@ -188,12 +197,7 @@ def _forces_solids_div_kernel(x0_ref, t_p, t_c, t_n, v_p, v_c, v_n,
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    def asm(prev, cur, nxt, vdim=False):
-        parts = [prev[..., tx - h:, :, :], cur[...], nxt[..., :h, :, :]]
-        if dummy:
-            zshape = ((3, dummy, gy, gz) if vdim else (dummy, gy, gz))
-            parts.append(jnp.zeros(zshape, dtype=cur.dtype))
-        return jnp.concatenate(parts, axis=1 if vdim else 0)
+    asm = _make_asm(tx, h, gy, gz, dummy)
 
     t = asm(t_p, t_c, t_n).astype(jnp.int32)
     vel = asm(v_p, v_c, v_n, vdim=True)
@@ -258,12 +262,7 @@ def _project_kernel(x0_ref, t_p, t_c, t_n, p_p, p_c, p_n, v_p, v_c, v_n,
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    def asm(prev, cur, nxt, vdim=False):
-        parts = [prev[..., tx - h:, :, :], cur[...], nxt[..., :h, :, :]]
-        if dummy:
-            zshape = ((3, dummy, gy, gz) if vdim else (dummy, gy, gz))
-            parts.append(jnp.zeros(zshape, dtype=cur.dtype))
-        return jnp.concatenate(parts, axis=1 if vdim else 0)
+    asm = _make_asm(tx, h, gy, gz, dummy)
 
     t = asm(t_p, t_c, t_n).astype(jnp.int32)
     p = asm(p_p, p_c, p_n)

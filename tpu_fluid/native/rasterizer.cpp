@@ -58,10 +58,13 @@ inline int n_threads() {
 }
 
 // Run fn(lo, hi) over [0, n) split into contiguous chunks, one per thread.
+// `min_n` is the serial cutoff: primitive-transform phases use the default
+// (per-unit work is tiny), framebuffer-band phases pass a small value
+// (each unit is a whole scanline across ~10^6 primitives).
 template <typename F>
-void parallel_ranges(long n, F fn) {
+void parallel_ranges(long n, F fn, long min_n = 4096) {
     int nt = n_threads();
-    if (nt <= 1 || n < 4096) { fn(0L, n); return; }
+    if (nt <= 1 || n < min_n) { fn(0L, n); return; }
     std::vector<std::thread> ts;
     long chunk = (n + nt - 1) / nt;
     for (int t = 0; t < nt; ++t) {
@@ -202,7 +205,7 @@ void rasterize_triangles(const float* verts, const float* colors,
                 }
             }
         }
-    });
+    }, /*min_n=*/2);
 }
 
 // Point sprites: circles of radius min(base/depth, max)/2 pixels, matching
@@ -279,7 +282,7 @@ void rasterize_points(const float* pos, const uint8_t* active, long n_pts,
                 }
             }
         }
-    });
+    }, /*min_n=*/2);
 }
 
 // Fill helpers so callers need not ship numpy loops.

@@ -321,9 +321,20 @@ def _local_step(state: FluidState, cfg: FluidConfig,
         r = cfg.surface_render_resolution
         hs = cfg.levelset_sweeps_value + cfg.levelset_smooth
         ht = -(-hs // r)                        # sim-cell halo
-        f_e = levelset_field(halo_extend(types, ht),
-                             halo_extend(occ, ht * r), cfg)
-        f1 = f2 = halo_inner(f_e, ht * r)
+        if ht <= types.shape[0]:
+            f_e = levelset_field(halo_extend(types, ht),
+                                 halo_extend(occ, ht * r), cfg)
+            f1 = f2 = halo_inner(f_e, ht * r)
+        else:
+            # band halo wider than the local slab (tiny shards): compute on
+            # the replicated full grids and slice the local block — still
+            # bitwise-identical to single-device (halo_extend would return
+            # fewer planes than requested here and silently corrupt)
+            occ_full = jax.lax.all_gather(occ, AXIS, axis=0, tiled=True)
+            types_full = jax.lax.all_gather(types, AXIS, axis=0, tiled=True)
+            f_full = levelset_field(types_full, occ_full, cfg)
+            f1 = f2 = jax.lax.dynamic_slice_in_dim(
+                f_full, x0 * r, types.shape[0] * r, axis=0)
         inertia = state.inertia
     elif cfg.surface_enabled:
         from tpu_fluid.kernels import pallas_choice
