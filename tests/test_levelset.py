@@ -31,12 +31,17 @@ def _cfg(**kw):
 
 def test_chamfer_distance_exact_in_band():
     occ = jnp.zeros((16, 16, 16), jnp.uint8).at[8, 8, 8].set(1)
-    phi = np.asarray(chamfer_distance(occ, sweeps=5))
+    phi = np.asarray(chamfer_distance(occ, sweeps=5, metric="manhattan6"))
     assert phi[8, 8, 8] == 0.0
     assert phi[9, 8, 8] == 1.0
     assert phi[9, 9, 8] == 2.0          # 6-neighbor (Manhattan) metric
     assert phi[8, 8, 13] == 5.0
     assert phi[8, 8, 14] > 100.0        # beyond the band
+    # quasi-Euclidean default: diagonals use sqrt2/sqrt3 weights
+    phi = np.asarray(chamfer_distance(occ, sweeps=5))
+    assert phi[9, 8, 8] == 1.0
+    np.testing.assert_allclose(phi[9, 9, 8], np.sqrt(2.0), rtol=1e-6)
+    np.testing.assert_allclose(phi[9, 9, 9], np.sqrt(3.0), rtol=1e-6)
 
 
 def test_field_sign_convention_matches_inertia_field():
@@ -83,10 +88,10 @@ def test_no_holes_at_high_subdivision():
         f = np.asarray(surface_field(state.float_dens_1,
                                      state.float_dens_2, cfg))
         holes[method] = _closed_surface_holes(f, cfg)
-    # measured: inertia ~32000 interior holes, levelset ~2 (auto iso=4.0
-    # derived from the particle spacing)
-    assert holes["levelset"] <= 8
-    assert holes["levelset"] < holes["inertia"] // 1000
+    # measured: inertia ~32000 interior holes, levelset 0 (euclid26
+    # chamfer, auto iso = 1.2 * particle spacing)
+    assert holes["levelset"] == 0
+    assert holes["inertia"] > 1000
 
 
 def test_spmd_levelset_tiny_slab_matches_single_device():

@@ -112,8 +112,8 @@ class FluidConfig:
     # — hole-free at high surface_render_resolution by construction.
     surface_method: str = "inertia"
     # Surface offset outside particles in detailed cells; None = auto,
-    # 1.6 * mean inter-particle spacing (the 1.6 bridges the chamfer's
-    # Manhattan metric to diagonal gaps — tuned on the r=5 hole benchmark).
+    # 1.2 * mean inter-particle spacing (tuned on the r=5 hole benchmark:
+    # zero interior holes with the quasi-Euclidean 26-neighbor chamfer).
     levelset_iso: float | None = None
     levelset_sweeps: int | None = None   # chamfer band; None = ceil(iso)+2
     levelset_smooth: int = 2             # box-blur passes on the field
@@ -207,7 +207,7 @@ class FluidConfig:
             return float(self.levelset_iso)
         spacing = (self.surface_render_resolution
                    / max(self.volume_target_density_value, 1e-6) ** (1 / 3))
-        return max(0.8, 1.6 * spacing)
+        return max(0.8, 1.2 * spacing)
 
     @property
     def levelset_sweeps_value(self) -> int:

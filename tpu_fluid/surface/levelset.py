@@ -12,17 +12,17 @@ unnecessary here: the particles ARE the fluid tracker, so the level set can
 be REBUILT from them each frame instead of advected.  TPU-native recipe,
 all dense stencil work:
 
-  1. phi = chamfer distance (detailed-cell units) to the nearest occupied
-     detailed cell: phi0 = 0 where occupied else BIG, then `sweeps` passes
-     of  phi = min(phi, min_6_neighbors(phi) + 1)  — a min-plus Jacobi
-     sweep; `sweeps` bounds the resolved band, which only needs to cover a
-     few cells around the surface.
+  1. phi = quasi-Euclidean chamfer distance (detailed-cell units) to the
+     nearest occupied detailed cell: phi0 = 0 where occupied else BIG, then
+     `sweeps` min-plus passes over the 26-neighborhood with weights
+     (1, sqrt2, sqrt3); `sweeps` bounds the resolved band, which only needs
+     to cover a few cells around the surface.
   2. f = iso - phi: positive inside (phi = 0), zero at distance `iso`,
      negative outside — the same sign convention as the stage-17 field, so
      the marching-cubes extractor and both renderers consume it unchanged.
-  3. `smooth` 6-point box-blur passes round off the chamfer metric's
-     Manhattan facets (solid-parent cells keep their value, mirroring the
-     stage-18 skip rule).
+  3. `smooth` 6-point box-blur passes round off the residual chamfer
+     facets (solid-parent cells keep their value, mirroring the stage-18
+     skip rule).
 
 Because every occupied cell is at phi = 0 and the surface is drawn at a
 fixed OUTWARD offset `iso`, isolated particles and thin sheets still
@@ -42,16 +42,34 @@ from tpu_fluid.stages.surface_fields import solid_parent_mask
 
 _BIG = 1e6
 
+# 26-neighborhood offsets with quasi-Euclidean chamfer weights
+# (1, sqrt(2), sqrt(3) for face/edge/corner steps) — much rounder
+# isosurfaces than the 6-neighbor Manhattan metric.
+_CHAMFER26 = tuple(
+    ((dx, dy, dz), float((dx * dx + dy * dy + dz * dz) ** 0.5))
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if (dx, dy, dz) != (0, 0, 0))
 
-def chamfer_distance(occ: jnp.ndarray, sweeps: int) -> jnp.ndarray:
+
+def chamfer_distance(occ: jnp.ndarray, sweeps: int,
+                     metric: str = "euclid26") -> jnp.ndarray:
     """Approximate distance (in cells) to the nearest occupied cell, exact
-    up to `sweeps` in the 6-neighbor metric; _BIG beyond the band."""
+    up to `sweeps` steps; _BIG beyond the band.  "euclid26" uses the
+    26-neighbor quasi-Euclidean chamfer (default); "manhattan6" the
+    6-neighbor metric."""
     phi = jnp.where(occ != 0, 0.0, _BIG)
+    if metric == "manhattan6":
+        for _ in range(sweeps):
+            nb = jnp.full_like(phi, _BIG)
+            for mv in MOVES:
+                nb = jnp.minimum(nb, shifted(phi, mv, fill=_BIG))
+            phi = jnp.minimum(phi, nb + 1.0)
+        return phi
     for _ in range(sweeps):
-        nb = jnp.full_like(phi, _BIG)
-        for mv in MOVES:
-            nb = jnp.minimum(nb, shifted(phi, mv, fill=_BIG))
-        phi = jnp.minimum(phi, nb + 1.0)
+        nb = phi
+        for mv, w in _CHAMFER26:
+            nb = jnp.minimum(nb, shifted(phi, mv, fill=_BIG) + w)
+        phi = nb
     return phi
 
 
