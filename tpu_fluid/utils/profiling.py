@@ -3,11 +3,14 @@
 The reference has no profiling at all (SURVEY.md §5.1); this provides the
 steps/sec north-star measurement plus a per-stage breakdown.
 
-Timing methodology: on remote-tunneled TPU runtimes, dispatch is asynchronous
-and `block_until_ready` on an empty queue can return before execution, and
-repeated executions on *identical* input buffers can be served from a cache.
-Every timer here therefore (a) chains each iteration's output into the next
-iteration's input and (b) fetches a scalar to the host at the end.
+Timing methodology (the measurement traps of remote-tunneled TPU runtimes,
+all hit and documented in NOTES.md): dispatch is asynchronous and
+`block_until_ready` can be a NO-OP, identical input buffers can be served
+from a cache, and each dispatch costs ~1.4 ms of tunnel overhead.  Every
+timer here therefore (a) runs the chained iterations INSIDE one program
+(`lax.fori_loop`, so per-dispatch overhead is amortized 1/n), (b) chains
+each iteration's output into the next iteration's input, and (c) fetches a
+scalar to the host at the end to force completion.
 """
 
 from __future__ import annotations
@@ -24,20 +27,26 @@ from tpu_fluid.solver.step import simulation_step
 
 
 def _fetch(x):
+    # slice ON DEVICE before the host transfer: device_get of a full leaf
+    # would pull the whole array through the tunnel (67 MB at 256^3 — a
+    # ~300 ms measurement artifact)
     leaf = jax.tree.leaves(x)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
 def time_chained(f: Callable, x0, n: int = 10, warmup: int = 1) -> float:
-    """Milliseconds per call of f, chained (x_{k+1} = f(x_k)), value-fetched."""
-    g = jax.jit(f)
-    x = x0
-    for _ in range(warmup):
-        x = g(x)
+    """Milliseconds per call of the self-map f, measured as one program of
+    n chained iterations (x_{k+1} = f(x_k)) with a host value-fetch."""
+    @jax.jit
+    def run(x):
+        def body(_, xx):
+            return f(xx)
+        return jax.lax.fori_loop(0, n, body, x)
+
+    x = run(x0)          # compile + warm
     _fetch(x)
     t0 = time.time()
-    for _ in range(n):
-        x = g(x)
+    x = run(x0)
     _fetch(x)
     return (time.time() - t0) / n * 1000.0
 
