@@ -102,6 +102,24 @@ def test_obj_export(tmp_path, sim):
     assert text.count("v ") >= 3 * len(tris)
 
 
+def test_video_export(tmp_path):
+    """write_video dispatches on extension: .mp4 (OpenCV) and .gif both
+    produce decodable files."""
+    from tpu_fluid.render.export import write_video
+    frames = [np.full((48, 64, 3), i * 40, np.uint8) for i in range(5)]
+    mp4 = str(tmp_path / "v.mp4")
+    gif = str(tmp_path / "v.gif")
+    write_video(mp4, frames, fps=10)
+    write_video(gif, frames, fps=10)
+    assert os.path.getsize(gif) > 100
+    import cv2
+    cap = cv2.VideoCapture(mp4)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 48
+    cap.release()
+
+
 def test_cli_smoke(tmp_path):
     from tpu_fluid.cli import main
     out = str(tmp_path / "out")

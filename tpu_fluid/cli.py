@@ -56,9 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--no-surface", action="store_true")
     p.add_argument("--no-particles", action="store_true")
-    p.add_argument("--video", type=str, default=None, metavar="PATH.gif",
-                   help="collect rendered frames into an animated GIF "
-                        "(the reference's demo-video counterpart); "
+    p.add_argument("--video", type=str, default=None, metavar="PATH",
+                   help="collect rendered frames into a video — .mp4 "
+                        "(OpenCV) or animated .gif by extension (the "
+                        "reference's demo-video counterpart); "
                         "requires --frame-every")
     p.add_argument("--video-fps", type=int, default=25)
     p.add_argument("--orbit-deg", type=float, default=0.0,
@@ -210,9 +211,9 @@ def main(argv=None) -> int:
             orbit_deg_per_frame=args.orbit_deg,
             render_method=args.render_method,
             mesh_every=args.mesh_every)
-    dt = time.time() - t0
     import numpy as np
-    np.asarray(sim.state.positions[:1])    # force completion for timing
+    np.asarray(sim.state.positions[:1])    # force completion BEFORE timing
+    dt = time.time() - t0
     print(f"{args.steps} steps in {dt:.2f}s "
           f"({args.steps / dt:.1f} steps/s incl. host work)", flush=True)
     return 0

@@ -168,6 +168,26 @@ class FluidConfig:
     # kernels add x-pad copies).  Kept for the explicit-SPMD step, where one
     # fused halo exchange per group replaces per-stage exchanges.
     grid_fused: bool = False
+    # Particle placement on the SPMD (multi-chip) path:
+    #  "index"  — particles split round-robin by buffer index; stage 14
+    #             all_gathers the velocity field so any shard can sample
+    #             anywhere (one volume collective per step, grows with grid
+    #             volume).
+    #  "domain" — particles live on the shard owning their x-slab
+    #             (parallel/particles_domain.py): sampling reads a 1-plane
+    #             halo-extended LOCAL slab, the occupancy scatter is
+    #             slab-local, and a fixed-capacity ppermute exchange migrates
+    #             boundary-crossers each step — communication grows with
+    #             surface area, not volume.  Needs slot slack for uneven
+    #             particle distributions.
+    particle_sharding: str = "index"      # "index" | "domain"
+    # Slots allocated per shard = particle_count/n * slack, rounded up; a
+    # shard holding more than its slots DROPS the overflow (deactivated,
+    # counted in diagnostics).
+    particle_slot_slack: float = 2.0
+    # Per-direction migration buffer = slots * frac; per-step one-hop
+    # crossers beyond it are dropped (CFL keeps real counts ~surface/step).
+    particle_migrate_frac: float = 0.25
 
     # ------------------------------------------------------------------ derived
     @property

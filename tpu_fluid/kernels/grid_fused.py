@@ -289,9 +289,14 @@ def _project_kernel(x0_ref, t_p, t_c, t_n, p_p, p_c, p_n, v_p, v_c, v_n,
 
 # --------------------------------------------------------------- wrappers
 def _slab_tx(gx, gy, gz, h, tx):
+    """Slab rows per program; falls back to the smallest divisor of gx >= h
+    when nothing in [h, tx] divides (e.g. a prime gx or SPMD local extent)."""
     tx = max(h, min(tx, max(h, 262144 // (gy * gz))))
     if gx % tx != 0:
-        tx = next(t for t in range(min(tx, gx), h - 1, -1) if gx % t == 0)
+        tx = next((t for t in range(min(tx, gx), h - 1, -1)
+                   if gx % t == 0), None)
+        if tx is None:
+            tx = next(t for t in range(h, gx + 1) if gx % t == 0)
     return tx
 
 

@@ -102,12 +102,23 @@ def sample_velocity_packed(table: jnp.ndarray, grid_size,
     """Sample the staggered velocity at positions pos (P, 3) from a packed
     table.  Returns (P, 3).  Equivalent to ops/sampling.velocity_at."""
     gx, gy, gz = grid_size
-    shape = jnp.array([gx, gy, gz], dtype=pos.dtype)
     j = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
                  jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
     flat = (j[:, 0] * (gy * gz) + j[:, 1] * gz + j[:, 2])
     rows = jnp.take(table, flat, axis=0)            # (P, 64) one row gather
+    return apply_packed_rows(rows, grid_size, pos)
 
+
+def apply_packed_rows(rows: jnp.ndarray, grid_size,
+                      pos: jnp.ndarray) -> jnp.ndarray:
+    """The weight/reduction half of the packed sampler: (P, 64) gathered
+    rows + (P, 3) positions -> (P, 3) velocities.  Split out so callers with
+    their own row-gather (e.g. the domain-sharded particle path, which
+    gathers from a halo-extended LOCAL table) reuse the exact weight math."""
+    gx, gy, gz = grid_size
+    shape = jnp.array([gx, gy, gz], dtype=pos.dtype)
+    j = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                 jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
     jf = j.astype(pos.dtype)
     out = []
     for c in range(3):

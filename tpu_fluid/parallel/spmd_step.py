@@ -283,34 +283,62 @@ def _local_step(state: FluidState, cfg: FluidConfig,
             halo_extend(types, 1), halo_extend(p, 1), halo_extend(vel, 1),
             cfg))
 
-    # 14: particles are index-sharded and can be anywhere in space, so each
-    # shard samples from the full velocity field (one all_gather over ICI);
-    # the packed-table build + row gather + Pallas sample then run on the
-    # local 1/n-th of the particles — the request-bound work divides by n.
-    vel_full = jax.lax.all_gather(vel, AXIS, axis=1, tiled=True)
+    # 14-15: two particle placements (cfg.particle_sharding):
+    #  "index" — particles split by buffer index; each shard all_gathers the
+    #    velocity field (one volume collective) and scatters occupancy over
+    #    the FULL detailed grid, combined by psum_scatter.  The request-bound
+    #    gather/scatter work — the single-chip bottleneck — divides by n.
+    #  "domain" — particles live on the shard owning their x-slab
+    #    (parallel/particles_domain.py): sampling reads a 1-plane halo, the
+    #    scatters are slab-local with no collective, and a fixed-capacity
+    #    ppermute exchange migrates boundary-crossers — communication scales
+    #    with slab surface, not grid volume.
+    domain = cfg.particle_sharding == "domain"
+    move_vel = vel
     if cfg.volume_correction > 0.0:
-        # volume-conservation drift (stages/volume.py): local-subset
-        # histogram on the full grid, psum'd to global counts; the drift
-        # field is computed replicated (types all_gather is 1/4 the size of
-        # the velocity one) and added for sampling only
-        from tpu_fluid.ops.scatter import particle_cell_histogram
+        # volume-conservation drift (stages/volume.py), fully distributed:
+        # this shard's x-slab of the global counts (slab-local scatter under
+        # domain sharding; full-grid local scatter + psum_scatter under
+        # index sharding), then the density Poisson + radius-1 drift stencil
+        # run slab-local with ppermute halos, exactly like the pressure
+        # solve.  The drift is added to the LOCAL velocity before any
+        # gather, so sampling sees vel + drift at zero extra volume
+        # collectives (drift is for sampling only; the state keeps the
+        # divergence-free `vel`).
         from tpu_fluid.stages.volume import density_drift
-        counts = particle_cell_histogram(state.positions, state.active,
-                                         cfg.grid_size)
-        counts = jax.lax.psum(counts, AXIS)
-        types_full = jax.lax.all_gather(types, AXIS, axis=0, tiled=True)
-        vel_full = vel_full + density_drift(counts, types_full, cfg,
-                                    vma_axis=AXIS)
-    pos = particles.move_particles(vel_full, state.positions, state.active,
-                                   cfg)
+        if domain:
+            from tpu_fluid.parallel.particles_domain import \
+                cell_histogram_local
+            counts = cell_histogram_local(state.positions, state.active,
+                                          cfg.grid_size, x0, lx)
+        else:
+            from tpu_fluid.ops.scatter import particle_cell_histogram
+            counts_full = particle_cell_histogram(
+                state.positions, state.active, cfg.grid_size)
+            counts = jax.lax.psum_scatter(counts_full, AXIS,
+                                          scatter_dimension=0, tiled=True)
+        move_vel = vel + density_drift(counts, types, cfg,
+                                       axis_name=AXIS, x0=x0)
 
-    # 15: local full-grid occupancy scatter (1/n of the requests), then a
-    # psum_scatter combines shard contributions and leaves each shard its
-    # x-slab.  uint8 counts cannot overflow (values <= n_shards).
-    occ_full = particles.detailed_occupancy(pos, state.active, cfg)
-    counts = jax.lax.psum_scatter(occ_full, AXIS, scatter_dimension=0,
-                                  tiled=True)
-    occ = (counts > 0).astype(jnp.uint8)
+    if domain:
+        from tpu_fluid.parallel.particles_domain import (
+            detailed_occupancy_local, migrate, migrate_slots,
+            move_particles_local)
+        pos = move_particles_local(move_vel, state.positions, state.active,
+                                   cfg, x0, use_pallas, interpret)
+        pos, active = migrate(pos, state.active, x0, lx,
+                              migrate_slots(cfg, n_shards))
+        r = cfg.surface_render_resolution
+        occ = detailed_occupancy_local(pos, active, cfg, x0 * r, lx * r)
+    else:
+        active = state.active
+        vel_full = jax.lax.all_gather(move_vel, AXIS, axis=1, tiled=True)
+        pos = particles.move_particles(vel_full, state.positions,
+                                       state.active, cfg)
+        occ_full = particles.detailed_occupancy(pos, state.active, cfg)
+        counts = jax.lax.psum_scatter(occ_full, AXIS, scatter_dimension=0,
+                                      tiled=True)
+        occ = (counts > 0).astype(jnp.uint8)
 
     # 16-18
     if cfg.surface_enabled and cfg.surface_method == "levelset":
@@ -384,7 +412,7 @@ def _local_step(state: FluidState, cfg: FluidConfig,
         float_dens_1=f1,
         float_dens_2=f2,
         positions=pos,
-        active=state.active,
+        active=active,
         detailed_occ=occ,
         step=state.step + 1,
     )
@@ -396,7 +424,13 @@ def validate_spmd_config(cfg: FluidConfig, n_shards: int) -> None:
     if gx % n_shards:
         raise ValueError(f"grid x size {gx} must divide the mesh "
                          f"({n_shards} shards)")
-    if cfg.particle_count % n_shards:
+    if cfg.particle_sharding == "domain":
+        # slot buffers are allocated per shard (particles_domain.domain_slots
+        # rounds to divide); sampling reads a slab-local packed table
+        if cfg.particle_sampler != "packed":
+            raise ValueError("particle_sharding='domain' requires the "
+                             "packed sampler")
+    elif cfg.particle_count % n_shards:
         raise ValueError(f"particle_count {cfg.particle_count} must divide "
                          f"the mesh ({n_shards} shards)")
     lx = gx // n_shards

@@ -66,6 +66,30 @@ def write_gif(path: str, frames, fps: int = 20) -> None:
                  duration=max(1, 1000 // fps), loop=0)
 
 
+def write_mp4(path: str, frames, fps: int = 25) -> None:
+    """Assemble (H, W, 3) uint8 RGB frames into an mp4 (OpenCV mp4v codec —
+    this zero-egress image has no ffmpeg binary)."""
+    import cv2
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    f0 = np.asarray(frames[0])
+    h, w = f0.shape[:2]
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                          float(fps), (w, h))
+    if not out.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter could not open {path}")
+    for f in frames:
+        out.write(np.asarray(f)[:, :, ::-1])   # RGB -> BGR
+    out.release()
+
+
+def write_video(path: str, frames, fps: int = 25) -> None:
+    """Dispatch on extension: .mp4 via OpenCV, anything else animated GIF."""
+    if path.lower().endswith(".mp4"):
+        write_mp4(path, frames, fps=fps)
+    else:
+        write_gif(path, frames, fps=fps)
+
+
 def write_particles_csv(path: str, positions, active) -> None:
     pos = np.asarray(positions)[np.asarray(active)]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

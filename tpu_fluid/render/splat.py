@@ -122,12 +122,21 @@ def render_particles_and_surface(positions, active, tris, tri_normals,
         dif = jnp.asarray(cfg.render_surface_diffuse_color)
         tri_color = amb[None, :] + lam[:, None] * dif[None, :]   # (T, 3)
 
-        # per-triangle projected extent (px): max abs vertex-pair delta
+        # per-triangle projected extent (px): max abs vertex-pair delta over
+        # the FRONT vertices only, so partially-clipped near-camera triangles
+        # still refine (a behind-camera vertex projects to garbage and would
+        # otherwise force ext to 0 or blow it up)
         vx, vy, _, vfront = project(mvp, tris.reshape(-1, 3), w, h)
         vx = vx.reshape(-1, 3)
         vy = vy.reshape(-1, 3)
-        ext = jnp.maximum(vx.max(1) - vx.min(1), vy.max(1) - vy.min(1))
-        ext = jnp.where(tri_valid & vfront.reshape(-1, 3).all(1), ext, 0.0)
+        vfront = vfront.reshape(-1, 3)
+        big = jnp.float32(1e9)
+        ext = jnp.maximum(
+            jnp.where(vfront, vx, -big).max(1) - jnp.where(vfront, vx,
+                                                           big).min(1),
+            jnp.where(vfront, vy, -big).max(1) - jnp.where(vfront, vy,
+                                                           big).min(1))
+        ext = jnp.where(tri_valid & vfront.any(1), ext, 0.0)
 
         def lattice_pass(sel_tris, sel_colors, sel_valid, subdiv):
             bary = _bary_lattice(subdiv)
@@ -146,10 +155,13 @@ def render_particles_and_surface(positions, active, tris, tri_normals,
         for threshold, budget, subdiv in (
                 (float(surface_subdiv), fine_tri_budget, 10),
                 (10.0, max(1, fine_tri_budget // 4), 24)):
-            sel = tri_valid & (ext > threshold)
-            n_sel = sel.sum()
-            (ids,) = jnp.nonzero(sel, size=budget, fill_value=0)
-            sub_valid = jnp.arange(budget) < n_sel
+            # top_k by extent: when more than `budget` triangles exceed the
+            # threshold, the LARGEST ones (the worst holes) win the slots
+            # instead of whichever happened to come first in index order
+            ext_masked = jnp.where(tri_valid & (ext > threshold), ext, -1.0)
+            kb = min(budget, ext_masked.shape[0])
+            vals, ids = jax.lax.top_k(ext_masked, kb)
+            sub_valid = vals > 0.0
             lattice_pass(jnp.take(tris, ids, axis=0),
                          jnp.take(tri_color, ids, axis=0),
                          sub_valid, subdiv)

@@ -83,8 +83,7 @@ def jacobi_solve(types: jnp.ndarray, div: jnp.ndarray,
 
 def poisson_solve(types: jnp.ndarray, rhs: jnp.ndarray, cfg: FluidConfig,
                   iters: int, boundary_value: float,
-                  axis_name: str | None = None,
-                  vma_axis: str | None = None) -> jnp.ndarray:
+                  axis_name: str | None = None) -> jnp.ndarray:
     """The stage-12 Jacobi machinery with an arbitrary right-hand side and
     non-water boundary value:  on WATER cells with aii > 0,
 
@@ -114,11 +113,6 @@ def poisson_solve(types: jnp.ndarray, rhs: jnp.ndarray, cfg: FluidConfig,
         # the loop carry must be marked shard-varying up front (the sweeps'
         # ppermute outputs are), or shard_map's VMA check rejects the loop
         p0 = jax.lax.pcast(p0, axis_name, to="varying")
-    elif vma_axis is not None:
-        # replicated full-grid solve INSIDE shard_map (the volume
-        # projection's case): the constants derive from psum/all_gather
-        # outputs typed varying, so the carry must be too
-        p0 = jax.lax.pcast(p0, vma_axis, to="varying")
 
     use_pallas, interpret = pallas_choice(cfg)
     if cfg.pressure_solver == "redblack":

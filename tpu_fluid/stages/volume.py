@@ -40,39 +40,60 @@ from tpu_fluid.stages import pressure
 
 def volume_potential(counts: jnp.ndarray, types: jnp.ndarray,
                      cfg: FluidConfig,
-                     vma_axis: str | None = None) -> jnp.ndarray:
-    """Solve lap(phi) = density error on water cells (phi = 0 elsewhere)."""
+                     axis_name: str | None = None) -> jnp.ndarray:
+    """Solve lap(phi) = density error on water cells (phi = 0 elsewhere).
+
+    `axis_name`: set to the mesh axis when counts/types are LOCAL x-slab
+    blocks inside shard_map — the solve then runs distributed with ppermute
+    halo exchange per sweep, exactly like the pressure solve it reuses."""
     d0 = cfg.volume_target_density_value
     water = types == CellType.WATER
     err = jnp.where(water, (counts.astype(jnp.float32) - d0) / d0, 0.0)
     return pressure.poisson_solve(types, err, cfg,
                                   iters=cfg.volume_jacobi_iters,
-                                  boundary_value=0.0, vma_axis=vma_axis)
+                                  boundary_value=0.0, axis_name=axis_name)
 
 
 def density_drift(counts: jnp.ndarray, types: jnp.ndarray,
                   cfg: FluidConfig,
-                  vma_axis: str | None = None) -> jnp.ndarray:
+                  axis_name: str | None = None, x0=0) -> jnp.ndarray:
     """(X,Y,Z) counts + types -> (3,X,Y,Z) staggered drift velocities.
 
-    `vma_axis`: set to the mesh axis when called on replicated full grids
-    inside shard_map (the SPMD step)."""
+    With `axis_name` (inside shard_map over x-slabs), counts/types are local
+    blocks: the Poisson solve runs distributed, the radius-1 drift stencil
+    exchanges one halo plane, and the face rule's `i_c != 0` test uses the
+    GLOBAL x coordinate `x0 + i`."""
     k = cfg.volume_correction
     m = cfg.volume_drift_max
-    phi = volume_potential(counts, types, cfg, vma_axis=vma_axis)
+    phi = volume_potential(counts, types, cfg, axis_name=axis_name)
     water = types == CellType.WATER
     solid = types == CellType.SOLID
+    if axis_name is not None:
+        from tpu_fluid.parallel.halo import halo_extend, halo_inner
+        types_e = halo_extend(types, 1, axis_name)
+        phi_e = halo_extend(phi, 1, axis_name)
+        water_e = types_e == CellType.WATER
+        solid_e = types_e == CellType.SOLID
     out = []
     for c in range(3):
         mv = tuple(-1 if j == c else 0 for j in range(3))
-        lo_w = shifted(water, mv, fill=False)
-        lo_s = shifted(solid, mv, fill=False)
-        idx = jnp.arange(types.shape[c])
-        nonzero = (idx != 0).reshape(
-            tuple(-1 if j == c else 1 for j in range(3)))
+        if axis_name is not None and c == 0:
+            # x-shift reads the -x neighbor shard's boundary plane (zeros
+            # past the domain end — same as `shifted`'s fill)
+            lo_w = halo_inner(shifted(water_e, mv, fill=False))
+            lo_s = halo_inner(shifted(solid_e, mv, fill=False))
+            grad = phi - halo_inner(shifted(phi_e, mv))
+            nonzero = ((x0 + jnp.arange(types.shape[0])) != 0
+                       ).reshape(-1, 1, 1)
+        else:
+            lo_w = shifted(water, mv, fill=False)
+            lo_s = shifted(solid, mv, fill=False)
+            grad = phi - shifted(phi, mv)
+            idx = jnp.arange(types.shape[c])
+            nonzero = (idx != 0).reshape(
+                tuple(-1 if j == c else 1 for j in range(3)))
         # same face rule as the pressure projection (fix_divergence.comp)
         ok = nonzero & (water | lo_w) & ~solid & ~lo_s
-        grad = phi - shifted(phi, mv)
         drift = jnp.clip(k * grad, -m, m)
         out.append(jnp.where(ok, drift, 0.0))
     return jnp.stack(out)

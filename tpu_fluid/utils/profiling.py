@@ -34,9 +34,10 @@ def _fetch(x):
     np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def time_chained(f: Callable, x0, n: int = 10, warmup: int = 1) -> float:
+def time_chained(f: Callable, x0, n: int = 10) -> float:
     """Milliseconds per call of the self-map f, measured as one program of
-    n chained iterations (x_{k+1} = f(x_k)) with a host value-fetch."""
+    n chained iterations (x_{k+1} = f(x_k)) with a host value-fetch.
+    The first (untimed) run serves as compile + warmup."""
     @jax.jit
     def run(x):
         def body(_, xx):
