@@ -79,6 +79,7 @@ def test_render_frame(sim):
     assert img.max() > 50
 
 
+@pytest.mark.slow
 def test_render_toggles(sim):
     sim.render_surface = False
     img_p = np.asarray(sim.render_frame(96, 96))
@@ -120,6 +121,7 @@ def test_video_export(tmp_path):
     cap.release()
 
 
+@pytest.mark.slow
 def test_cli_smoke(tmp_path):
     from tpu_fluid.cli import main
     out = str(tmp_path / "out")

@@ -87,6 +87,7 @@ def test_project_matches_stage():
                                rtol=1e-6, atol=1e-7)  # FMA contraction, ibid
 
 
+@pytest.mark.slow
 def test_full_step_interpret_matches_xla():
     """One full simulation step with pallas_mode=interpret (all fused
     kernels) vs pallas_mode=off, on a real scene."""

@@ -5,6 +5,7 @@ high subdivision (`README.md:158-160`)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_fluid.core.config import FluidConfig
 from tpu_fluid.core.state import initial_state
@@ -73,6 +74,7 @@ def _closed_surface_holes(field, cfg):
     return int((~core).sum())
 
 
+@pytest.mark.slow
 def test_no_holes_at_high_subdivision():
     """At surface_render_resolution=5 (the reference's default, where it
     reports 'fluid is still full of holes'), a settled pool's interior is
@@ -94,6 +96,7 @@ def test_no_holes_at_high_subdivision():
     assert holes["inertia"] > 1000
 
 
+@pytest.mark.slow
 def test_spmd_levelset_tiny_slab_matches_single_device():
     """When the chamfer band halo exceeds the local slab width (here
     lx_det = 4 < band 8), the SPMD step must fall back to the replicated
@@ -125,6 +128,7 @@ def test_spmd_levelset_tiny_slab_matches_single_device():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_spmd_levelset_matches_single_device():
     from tpu_fluid.parallel.mesh import make_mesh, shard_state
     from tpu_fluid.parallel.spmd_step import spmd_step

@@ -3,6 +3,7 @@ contained, and invariant-respecting (the reference documents volume drift as
 a known issue, README.md:148-150 — we assert stability, not exact volume)."""
 
 import numpy as np
+import pytest
 import jax
 
 from tpu_fluid.core.config import FluidConfig
@@ -37,6 +38,7 @@ def test_400_steps_stable():
     assert int(state.active.sum()) == 4000
 
 
+@pytest.mark.slow
 def test_longrun_all_features_combined():
     """150 steps with every beyond-reference feature on at once: dynamic
     scene fields, volume projection, level-set surface — stability and

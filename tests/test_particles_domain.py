@@ -56,7 +56,8 @@ def _run_pair(cfg, steps=3):
     return ref, sharded
 
 
-@pytest.mark.parametrize("mode", ["off", "interpret"])
+@pytest.mark.parametrize("mode", [
+    "off", pytest.param("interpret", marks=pytest.mark.slow)])
 def test_domain_matches_single_device(mode):
     cfg = _cfg(pallas_mode=mode)
     ref, sharded = _run_pair(cfg)

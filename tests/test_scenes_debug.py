@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -15,6 +16,7 @@ from tpu_fluid.render.debug import render_cell_field
 from tpu_fluid.render.export import write_gif
 
 
+@pytest.mark.slow
 def test_scene_presets_run():
     for name, factory in SCENES.items():
         cfg = factory(12, particle_count=2000)

@@ -84,6 +84,7 @@ def test_sharded_run_to_run_determinism(mesh):
             err_msg=f"leaf {name}")
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

@@ -78,6 +78,7 @@ def test_spmd_matches_single_device_xla():
     assert_states_match(ref, sharded)
 
 
+@pytest.mark.slow
 def test_spmd_matches_single_device_pallas_interpret():
     """The real TPU kernel path, under sharding, via the interpreter."""
     cfg = base_cfg(pallas_mode="interpret")
@@ -85,6 +86,7 @@ def test_spmd_matches_single_device_pallas_interpret():
     assert_states_match(ref, sharded)
 
 
+@pytest.mark.slow
 def test_spmd_matches_single_device_grid_fused():
     """The fused sim-grid stage kernels (kernels/grid_fused.py) under
     sharding: single-device and SPMD run the same kernels -> bitwise."""
@@ -95,6 +97,7 @@ def test_spmd_matches_single_device_grid_fused():
     assert_states_match(ref, sharded)
 
 
+@pytest.mark.slow
 def test_spmd_interpret_matches_xla_formulations():
     """Pallas kernels == XLA stage formulations, both sharded."""
     _, sh_pallas = run_both(base_cfg(pallas_mode="interpret"), n_steps=2)
@@ -119,6 +122,7 @@ def test_spmd_with_obstacles_and_forces():
     assert_states_match(ref, sharded)
 
 
+@pytest.mark.slow
 def test_spmd_multi_step_scan():
     cfg = base_cfg(pallas_mode="off")
     mesh = make_mesh(8)

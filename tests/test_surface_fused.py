@@ -73,6 +73,7 @@ def test_fused_noncubic_and_obstacles():
     np.testing.assert_allclose(np.asarray(f2_a), np.asarray(f2_b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_step_with_interpret_pallas_matches_off():
     """update_surface_fields inside the real step: pallas_mode=interpret
     must reproduce pallas_mode=off bitwise for the integer field."""

@@ -123,7 +123,8 @@ def test_spmd_volume_adds_no_volume_collectives():
     assert count(on, "collective-permute") > count(off, "collective-permute")
 
 
-@pytest.mark.parametrize("mode", ["off", "interpret"])
+@pytest.mark.parametrize("mode", [
+    "off", pytest.param("interpret", marks=pytest.mark.slow)])
 def test_spmd_volume_matches_single_device(mode):
     from tpu_fluid.parallel.mesh import make_mesh, shard_state
     from tpu_fluid.parallel.spmd_step import spmd_step
