@@ -51,7 +51,10 @@ def test_pallas_jacobi_matches_xla_loop():
     rd = jnp.where(water, 0.2, 0.0)
     c2 = jax.random.normal(key, (n, n, n), dtype=jnp.float32)
     p0 = jnp.ones((n, n, n), jnp.float32)
-    got = jax.jit(lambda p: jacobi_sweeps_pallas(p, rd, c2, water, 21))(p0)
+    # kernel contract: the loop state is the water-MASKED pressure q
+    got = jax.jit(lambda p: jacobi_sweeps_pallas(
+        jnp.where(water, p, 0.0), rd, c2, 21))(p0)
+    got = jnp.where(water, got, p0)
 
     @jax.jit
     def ref(p):

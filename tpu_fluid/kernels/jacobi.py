@@ -13,15 +13,21 @@ Per-frame constants are folded outside the kernel (see
 stages/pressure.jacobi_solve):
   rd  = 1/aii where the cell updates (WATER, aii > 0), else 0
   c2  = (n_air * p_air - b) / aii  (b = div * rho * dx / dt)
-  wat = WATER mask (neighbor-sum mask; distinct from rd>0 only for the
-        degenerate all-solid-neighbors water cell)
-One sweep:  p' = where(rd > 0, (sum_6 zeropad(where(wat, p, 0))) * rd + c2, p)
+The loop state is the WATER-MASKED pressure q = where(water, p, 0) — the
+exact array every sweep's neighbor sum consumes — so the water mask never
+enters the kernel at all (25% less input HBM per pass and one select fewer
+per sweep than carrying p + water).  One sweep:
+    q' = where(rd > 0, (sum_6 zeropad(q)) * rd + c2, q)
 which matches `pressure.comp:52-77` exactly (air/inactive neighbors
 contribute the constant folded into c2; solid neighbors are excluded from
-both the sum and aii).
+both the sum and aii): by induction q stays where(water, p, 0) bitwise —
+non-updating water cells (aii = 0) keep their initial boundary value in q,
+non-water cells stay 0 and contribute nothing.  The caller reconstructs
+p = where(water, q, boundary_value) once after the solve
+(stages/pressure.poisson_solve).
 
 Out-of-domain neighbors must read as non-water zero pressure, so all x pads
-are ZERO-filled (wat = 0, rd = 0 in the pad kills both the neighbor sum and
+are ZERO-filled (q = 0, rd = 0 in the pad kills both the neighbor sum and
 the update there).  That same convention makes the kernel shard-agnostic:
 under shard_map (`jacobi_sweeps_sharded`), the k-wide pad rows adjacent to
 each local block are filled with the neighbor shard's boundary planes via
@@ -54,8 +60,8 @@ def _zshift(a, d, axis, size):
     return jnp.pad(a, pads)[tuple(idx)]
 
 
-def _jacobi_kernel(p_prev, p_cur, p_next, rd_prev, rd_cur, rd_next,
-                   c2_prev, c2_cur, c2_next, w_prev, w_cur, w_next,
+def _jacobi_kernel(q_prev, q_cur, q_next, rd_prev, rd_cur, rd_next,
+                   c2_prev, c2_cur, c2_next,
                    out_ref, *, k, tx, shape):
     _, gy, gz = shape
     h = k  # halo width
@@ -63,21 +69,19 @@ def _jacobi_kernel(p_prev, p_cur, p_next, rd_prev, rd_cur, rd_next,
     def asm(prev, cur, nxt):
         return jnp.concatenate([prev[tx - h:], cur[...], nxt[:h]], axis=0)
 
-    p = asm(p_prev, p_cur, p_next)            # (tx + 2h, gy, gz)
+    q = asm(q_prev, q_cur, q_next)            # (tx + 2h, gy, gz)
     rd = asm(rd_prev, rd_cur, rd_next)
     c2 = asm(c2_prev, c2_cur, c2_next)
-    wat = asm(w_prev, w_cur, w_next) != 0
     upd = rd > 0.0
 
     nrows = tx + 2 * h
     for _ in range(k):
-        pw = jnp.where(wat, p, 0.0)
-        neigh = (_zshift(pw, 1, 0, nrows) + _zshift(pw, -1, 0, nrows)
-                 + _zshift(pw, 1, 1, gy) + _zshift(pw, -1, 1, gy)
-                 + _zshift(pw, 1, 2, gz) + _zshift(pw, -1, 2, gz))
-        p = jnp.where(upd, neigh * rd + c2, p)
+        neigh = (_zshift(q, 1, 0, nrows) + _zshift(q, -1, 0, nrows)
+                 + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
+                 + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz))
+        q = jnp.where(upd, neigh * rd + c2, q)
 
-    out_ref[...] = p[h:h + tx]
+    out_ref[...] = q[h:h + tx]
 
 
 def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int):
@@ -88,7 +92,7 @@ def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int):
     return min(k, tx), tx
 
 
-def _one_pass(p_pad, rd_pad, c2_pad, wat_pad, kk, tx, shape, interpret):
+def _one_pass(q_pad, rd_pad, c2_pad, kk, tx, shape, interpret):
     """One Pallas pass of kk fused sweeps over x-padded (gx + 2*tx) arrays.
     Only the tx pad rows nearest the block are ever read (the kernel reads
     prev[tx-kk:] / next[:kk]), so pads beyond the real halo may be zeros."""
@@ -100,45 +104,44 @@ def _one_pass(p_pad, rd_pad, c2_pad, wat_pad, kk, tx, shape, interpret):
     return pl.pallas_call(
         kern,
         grid=(gx // tx,),
-        in_specs=[slab(0), slab(1), slab(2)] * 4,
+        in_specs=[slab(0), slab(1), slab(2)] * 3,
         out_specs=pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gx, gy, gz), p_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, gz), q_pad.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*([p_pad] * 3 + [rd_pad] * 3 + [c2_pad] * 3 + [wat_pad] * 3))
+    )(*([q_pad] * 3 + [rd_pad] * 3 + [c2_pad] * 3))
 
 
-def jacobi_sweeps_pallas(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
-                         water: jnp.ndarray, n_iters: int,
+def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
+                         n_iters: int,
                          k: int = 8, tx: int = 16,
                          interpret: bool = False) -> jnp.ndarray:
     """Run n_iters Jacobi sweeps on a full (single-device) grid; K fused
-    sweeps per Pallas pass."""
-    gx, gy, gz = p.shape
+    sweeps per Pallas pass.  `q` is the water-masked pressure
+    where(water, p, 0) — see the module docstring."""
+    gx, gy, gz = q.shape
     k, tx = _slab_sizes(gx, gy, gz, k, tx)
 
     def xpad(a):
         return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)))
 
     rdp, c2p = xpad(rd), xpad(c2)
-    watp = xpad(water.astype(jnp.uint8))
     shape = (gx, gy, gz)
 
     passes_full, rem = divmod(n_iters, k)
     if passes_full:
-        def body(_, pp):
-            return _one_pass(xpad(pp), rdp, c2p, watp, k, tx, shape,
-                             interpret)
-        p = jax.lax.fori_loop(0, passes_full, body, p)
+        def body(_, qq):
+            return _one_pass(xpad(qq), rdp, c2p, k, tx, shape, interpret)
+        q = jax.lax.fori_loop(0, passes_full, body, q)
     if rem:
-        p = _one_pass(xpad(p), rdp, c2p, watp, rem, tx, shape, interpret)
-    return p
+        q = _one_pass(xpad(q), rdp, c2p, rem, tx, shape, interpret)
+    return q
 
 
-def jacobi_sweeps_sharded(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
-                          water: jnp.ndarray, n_iters: int, axis_name: str,
+def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
+                          n_iters: int, axis_name: str,
                           k: int = 8, tx: int = 16,
                           interpret: bool = False) -> jnp.ndarray:
     """Sharded variant, called INSIDE shard_map on local x-slab blocks.
@@ -147,10 +150,10 @@ def jacobi_sweeps_sharded(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
     exchanged with the x-neighbor shards over ICI (`jax.lax.ppermute`, two
     neighbor sends) — the TPU-native replacement for the reference's 200
     barrier-separated dispatches (`fluid_flow_sections.h:300-313`); the
-    constant fields (rd/c2/water) exchange their halos once per solve.
+    constant fields (rd/c2) exchange their halos once per solve.
     Domain-end shards receive ppermute's zeros = the zero-pad convention.
     """
-    lx, gy, gz = p.shape
+    lx, gy, gz = q.shape
     k, tx = _slab_sizes(lx, gy, gz, k, tx)
     n = jax.lax.axis_size(axis_name)
     up = [(j, j + 1) for j in range(n - 1)]      # send +x
@@ -165,16 +168,14 @@ def jacobi_sweeps_sharded(p: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
         return jnp.concatenate([z, from_left, a, from_right, z], axis=0)
 
     rdp, c2p = xpad_halo(rd), xpad_halo(c2)
-    watp = xpad_halo(water.astype(jnp.uint8))
     shape = (lx, gy, gz)
 
     passes_full, rem = divmod(n_iters, k)
     if passes_full:
-        def body(_, pp):
-            return _one_pass(xpad_halo(pp), rdp, c2p, watp, k, tx, shape,
+        def body(_, qq):
+            return _one_pass(xpad_halo(qq), rdp, c2p, k, tx, shape,
                              interpret)
-        p = jax.lax.fori_loop(0, passes_full, body, p)
+        q = jax.lax.fori_loop(0, passes_full, body, q)
     if rem:
-        p = _one_pass(xpad_halo(p), rdp, c2p, watp, rem, tx, shape,
-                      interpret)
-    return p
+        q = _one_pass(xpad_halo(q), rdp, c2p, rem, tx, shape, interpret)
+    return q

@@ -119,16 +119,19 @@ def poisson_solve(types: jnp.ndarray, rhs: jnp.ndarray, cfg: FluidConfig,
         use_pallas = False     # XLA formulation only (masked half-sweeps)
     if use_pallas:
         # K-fused Pallas sweeps: fold the per-cell constants so one sweep is
-        # p' = where(rd>0, neigh*rd + c2, p)
+        # q' = where(rd>0, neigh*rd + c2, q), with q the water-masked
+        # pressure (the kernel never sees the water mask — kernels/jacobi.py)
         from tpu_fluid.kernels.jacobi import (jacobi_sweeps_pallas,
                                               jacobi_sweeps_sharded)
         rd = jnp.where(update_mask, 1.0 / denom, 0.0)
         c2 = const / denom
+        q0 = jnp.where(water, p0, 0.0)
         if axis_name is not None:
-            return jacobi_sweeps_sharded(p0, rd, c2, water, iters, axis_name,
-                                         interpret=interpret)
-        return jacobi_sweeps_pallas(p0, rd, c2, water, iters,
-                                    interpret=interpret)
+            q = jacobi_sweeps_sharded(q0, rd, c2, iters, axis_name,
+                                      interpret=interpret)
+        else:
+            q = jacobi_sweeps_pallas(q0, rd, c2, iters, interpret=interpret)
+        return jnp.where(water, q, boundary_value)
 
     if axis_name is not None:
         from tpu_fluid.parallel.halo import exchange_x_halo
