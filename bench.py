@@ -57,8 +57,13 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
         def run(s):
             return jstep(s, cfg)
 
-    # warmup + compile, synced
+    # warmup + compile, synced: one chunk's worth of steps so the dispatch
+    # pipeline, allocator, and caches are warm when the timed region starts
+    # (the first timed chunk otherwise runs ~25% slow with nothing to
+    # overlap its sync against)
     state = run(state if ndev > 1 else initial_state(cfg))
+    for _ in range(max(0, sync_every - 1)):
+        state = run(state)
     np.asarray(jax.device_get(state.step))
 
     done = 0

@@ -13,6 +13,7 @@ checkpointing, and per-step diagnostics.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Callable, Optional
 
@@ -26,6 +27,12 @@ from tpu_fluid.solver.step import jit_multi_step, jit_step
 from tpu_fluid.stages.surface_fields import surface_field
 from tpu_fluid.surface.marching_cubes import extract_surface
 from tpu_fluid.utils.diagnostics import diagnostics, format_diagnostics
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _surface_mesh_jit(f1, f2, cfg, max_cells):
+    return extract_surface(surface_field(f1, f2, cfg), cfg,
+                           max_cells=max_cells)
 
 
 @dataclasses.dataclass
@@ -101,11 +108,14 @@ class Simulation:
 
     # ------------------------------------------------------------ rendering
     def surface_mesh(self):
-        """Extract the marching-cubes mesh of the current surface field."""
-        field = surface_field(self.state.float_dens_1, self.state.float_dens_2,
-                              self.cfg)
-        return extract_surface(field, self.cfg,
-                               max_cells=self.max_surface_cells)
+        """Extract the marching-cubes mesh of the current surface field.
+
+        One jitted program: run eagerly, the field + extraction chain is
+        ~50 separate dispatches — a deep un-synced dispatch chain, which
+        this remote TPU runtime cannot survive at large grids (NOTES.md)."""
+        return _surface_mesh_jit(self.state.float_dens_1,
+                                 self.state.float_dens_2, self.cfg,
+                                 self.max_surface_cells)
 
     def render_frame(self, width: int = 1024, height: int = 1024,
                      method: str = "splat"):
