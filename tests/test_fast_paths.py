@@ -96,3 +96,20 @@ def test_shift_advect_large_velocity_clamped():
     fast = np.asarray(vstages.advect(types, vel, CFG))
     assert np.isfinite(fast).all()
     assert np.abs(fast).max() <= np.abs(np.asarray(vel)).max() + 1e-3
+
+
+def test_jacobi_whole_grid_matches_slab_interpret():
+    """The VMEM-resident whole-grid Jacobi kernel and the K-slab kernel must
+    agree bitwise (same sweep arithmetic, different HBM pass structure)."""
+    from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
+    r = np.random.default_rng(6)
+    n = 12
+    water = jnp.asarray(r.random((n, n, n)) < 0.4)
+    rd = jnp.where(water, jnp.float32(0.25), 0.0)
+    c2 = jnp.asarray(r.standard_normal((n, n, n)).astype(np.float32))
+    q0 = jnp.where(water, jnp.float32(1.0), 0.0)
+    whole = jacobi_sweeps_pallas(q0, rd, c2, 17, interpret=True,
+                                 whole_grid=True)
+    slab = jacobi_sweeps_pallas(q0, rd, c2, 17, interpret=True,
+                                whole_grid=False)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(slab))

@@ -42,7 +42,8 @@ def test_pallas_advect_matches_shift():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_jacobi_matches_xla_loop():
+@pytest.mark.parametrize("whole_grid", [True, False])
+def test_pallas_jacobi_matches_xla_loop(whole_grid):
     from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
     from tpu_fluid.ops.stencil import MOVES, shifted
     n = 16
@@ -53,7 +54,7 @@ def test_pallas_jacobi_matches_xla_loop():
     p0 = jnp.ones((n, n, n), jnp.float32)
     # kernel contract: the loop state is the water-MASKED pressure q
     got = jax.jit(lambda p: jacobi_sweeps_pallas(
-        jnp.where(water, p, 0.0), rd, c2, 21))(p0)
+        jnp.where(water, p, 0.0), rd, c2, 21, whole_grid=whole_grid))(p0)
     got = jnp.where(water, got, p0)
 
     @jax.jit
