@@ -103,20 +103,29 @@ def test_slab_tx_always_feasible():
     assert t >= 5
 
 
-def test_large_plane_falls_back_to_jnp(monkeypatch):
-    """Above MAX_PLANE the dispatcher must not call the Pallas kernel."""
-    import tpu_fluid.stages.surface_fields as sf
-    from tpu_fluid.core.config import FluidConfig
-    cfg = FluidConfig(grid_size=(8, 170, 170), surface_render_resolution=2,
-                      pallas_mode="interpret")   # detailed plane 340^2 > MAX
-    d = cfg.detailed_size
-    occ = jnp.zeros(d, jnp.uint8)
-    inertia = jnp.zeros(d, jnp.int32)
-    f2 = jnp.zeros(d, jnp.float32)
-    types = jnp.zeros(cfg.grid_size, jnp.uint8)
-
-    def boom(*a, **k):
-        raise AssertionError("fused kernel must not run on large planes")
-    monkeypatch.setattr("tpu_fluid.kernels.surface_fused."
-                        "surface_fused_pallas", boom)
-    sf.update_surface_fields(types, occ, inertia, f2, cfg)  # no raise
+@pytest.mark.parametrize("steps", [0, 2, 3])
+def test_y_chunked_matches_unchunked(steps):
+    """surface_fused_auto with a tiny max_plane (forcing y-chunking, incl.
+    an uneven tail chunk) must match the unchunked kernel bitwise — the
+    h-wide overlap plus the y0/global_gy domain pinning make the kept rows
+    exact (VERDICT weak #6: the 512^2-plane config now gets the fast path)."""
+    from tpu_fluid.kernels.surface_fused import surface_fused_auto
+    cfg = FluidConfig.scaled_scene(16, particle_count=1000,
+                                   jacobi_iters=2).replace(
+        float_density_diffuse_steps=steps)
+    occ, inertia, f2, types = _random_inputs(cfg, seed=5)
+    skip = surface_fields.solid_parent_mask(types, cfg).astype(jnp.uint8)
+    kw = dict(steps=cfg.float_density_diffuse_steps,
+              k=cfg.float_density_diffuse_coefficient,
+              inc_filled=cfg.inertia_increase_filled,
+              inc_neigh=cfg.inertia_increase_neighbour,
+              required_hits=cfg.inertia_required_neighbour_hits,
+              dec=cfg.inertia_decrease, max_inertia=cfg.max_inertia,
+              div_coef=cfg.float_density_division_coefficient,
+              interpret=True)
+    # detailed grid is 32^3: plane 32*32 = 1024; max_plane 300 forces
+    # by = 8 -> chunks of 8,8,8,8 at steps=2 (h=3 -> extended plane 14*32)
+    a = surface_fused_auto(occ, inertia, f2, skip, max_plane=300, **kw)
+    b = surface_fused_auto(occ, inertia, f2, skip, **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

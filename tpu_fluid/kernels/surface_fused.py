@@ -46,11 +46,15 @@ def _neighbor_sum(a, nrows, gy, gz):
 def _surface_kernel(x0_ref, occ_p, occ_c, occ_n, in_p, in_c, in_n,
                     f2_p, f2_c, f2_n, sk_p, sk_c, sk_n,
                     inertia_out, f1_out, f2_out, *,
-                    h, tx, shape, steps, k, inc_filled, inc_neigh,
+                    h, tx, shape, y0, ggy, steps, k, inc_filled, inc_neigh,
                     required_hits, dec, max_inertia, div_coef):
     # `shape` is the GLOBAL detailed grid; x0_ref holds this shard's global
     # detailed-x offset (0 single-device) so the out-of-domain zero rule
-    # applies at the true domain ends, not at shard boundaries.
+    # applies at the true domain ends, not at shard boundaries.  y0/ggy
+    # (static) locate this y-chunk in the global y extent the same way —
+    # rows outside [0, ggy) are forced to the robust zero after every stage
+    # so a chunk rim at the true domain edge can't evolve to -1 and leak
+    # into the kept rows' blur (see surface_fused_auto).
     gx, gy, gz = shape
     x0 = x0_ref[0]
     i = pl.program_id(0)
@@ -76,6 +80,9 @@ def _surface_kernel(x0_ref, occ_p, occ_c, occ_n, in_p, in_c, in_n,
     gxrow = (x0 + i * tx - h
              + jax.lax.broadcasted_iota(jnp.int32, (nrows, 1, 1), 0))
     in_dom = (gxrow >= 0) & (gxrow < gx)
+    if y0 != 0 or ggy != gy:
+        gyrow = y0 + jax.lax.broadcasted_iota(jnp.int32, (1, gy, 1), 1)
+        in_dom = in_dom & (gyrow >= 0) & (gyrow < ggy)
 
     # stage 16: inertia update (densities_inertia.comp:30-62).  Selects are
     # arithmetic (0/1 indicator * branch difference) rather than
@@ -141,6 +148,7 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
                          max_inertia: int, div_coef: float,
                          tx: int = 8, halos=None, x0=None,
                          global_gx: int | None = None,
+                         y0: int = 0, global_gy: int | None = None,
                          interpret: bool = False):
     """Fused stages 16-18 on a detailed grid (or a local x-slab of one).
 
@@ -177,6 +185,7 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
 
     kern = functools.partial(
         _surface_kernel, h=h, tx=tx, shape=(global_gx or gx, gy, gz),
+        y0=y0, ggy=global_gy if global_gy is not None else gy,
         steps=steps,
         k=float(k), inc_filled=int(inc_filled), inc_neigh=int(inc_neigh),
         required_hits=int(required_hits), dec=int(dec),
@@ -199,3 +208,57 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x0a, *([occ_p] * 3 + [in_p] * 3 + [f2_p] * 3 + [sk_p] * 3))
+
+
+def surface_fused_auto(occ, inertia, f2, skip, *, steps, k, inc_filled,
+                       inc_neigh, required_hits, dec, max_inertia, div_coef,
+                       tx: int = 8, halos=None, x0=None,
+                       global_gx: int | None = None,
+                       max_plane: int = MAX_PLANE,
+                       interpret: bool = False):
+    """surface_fused_pallas for ANY plane size: grids whose (gy, gz) plane
+    fits the slab VMEM budget run the kernel directly; larger planes (the
+    256^3 sim / 512^3 detailed config: 512*512 > MAX_PLANE) are split into
+    y-chunks extended by an h-wide overlap of REAL neighbor rows.  Each
+    pass of the fused stencil chain loses one exact ring, so after the
+    h = steps+1 stages the kept central rows are bitwise-identical to the
+    unchunked kernel; the rim is discarded.  Rows beyond the true y domain
+    are zero-filled and pinned to zero after every stage inside the kernel
+    (y0/global_gy), matching the GLSL robust-access zero of the unchunked
+    path.  Overhead: 2h overlap rows per chunk (~5% at 512-wide chunks)."""
+    gx, gy, gz = occ.shape
+    h = steps + 1
+    kw = dict(steps=steps, k=k, inc_filled=inc_filled, inc_neigh=inc_neigh,
+              required_hits=required_hits, dec=dec, max_inertia=max_inertia,
+              div_coef=div_coef, tx=tx, x0=x0, global_gx=global_gx,
+              interpret=interpret)
+    if gy * gz <= max_plane:
+        return surface_fused_pallas(occ, inertia, f2, skip, halos=halos,
+                                    **kw)
+    # chunk width: keep the extended plane under the budget, sublane-aligned
+    by = max(8, ((max_plane // gz - 2 * h) // 8) * 8)
+    halos = halos or (None,) * 4
+
+    def ysl(a, lo, hi):
+        """Rows [lo, hi) of axis 1 with zero fill outside [0, gy)."""
+        core = a[:, max(0, lo):min(gy, hi)]
+        pl_, ph = max(0, -lo), max(0, hi - gy)
+        if pl_ or ph:
+            pad = [(0, 0)] * a.ndim
+            pad[1] = (pl_, ph)
+            core = jnp.pad(core, pad)
+        return core
+
+    outs = []
+    for y0c in range(0, gy, by):
+        y1 = min(gy, y0c + by)
+        lo, hi = y0c - h, y1 + h
+        ch = tuple(None if hl is None else (ysl(hl[0], lo, hi),
+                                            ysl(hl[1], lo, hi))
+                   for hl in halos)
+        i_c, f1_c, f2_c = surface_fused_pallas(
+            ysl(occ, lo, hi), ysl(inertia, lo, hi), ysl(f2, lo, hi),
+            ysl(skip, lo, hi), halos=ch, y0=lo, global_gy=gy, **kw)
+        keep = slice(h, h + (y1 - y0c))
+        outs.append((i_c[:, keep], f1_c[:, keep], f2_c[:, keep]))
+    return tuple(jnp.concatenate(parts, axis=1) for parts in zip(*outs))

@@ -203,7 +203,8 @@ def detailed_occupancy_local(positions: jnp.ndarray, active: jnp.ndarray,
            & (z >= 0) & (z < dz) & active)
     flat = jnp.where(inb, x * (dy * dz) + y * dz + z, lx_det * dy * dz)
     occ = jnp.zeros((lx_det * dy * dz,), dtype=jnp.int32)
-    occ = occ.at[flat].set(1, mode="drop")
+    # unique_indices: safe for a constant-1 set, skips XLA's dedup sort
+    occ = occ.at[flat].set(1, mode="drop", unique_indices=True)
     return occ.reshape(lx_det, dy, dz).astype(jnp.uint8)
 
 

@@ -370,21 +370,20 @@ def _local_step(state: FluidState, cfg: FluidConfig,
         r = cfg.surface_render_resolution
         h = cfg.float_density_diffuse_steps + 1
         lx_det = types.shape[0] * r
-        from tpu_fluid.kernels.surface_fused import MAX_PLANE
-        dy, dz = occ.shape[1], occ.shape[2]
-        if use_pallas and lx_det >= h and dy * dz <= MAX_PLANE:
+        if use_pallas and lx_det >= h:
             # fused Pallas kernel on the local detailed slab: one h-wide
             # halo exchange (h = blur_steps + 1) replaces the per-stage /
             # per-pass exchanges; central rows are bitwise-identical to the
             # single-device kernel (kernels/surface_fused.py).  Slabs
             # narrower than the halo fall back to the per-pass jnp path.
-            from tpu_fluid.kernels.surface_fused import surface_fused_pallas
+            # surface_fused_auto y-chunks planes past the slab VMEM budget.
+            from tpu_fluid.kernels.surface_fused import surface_fused_auto
             skip = surface_fields.solid_parent_mask(types, cfg
                                                     ).astype(jnp.uint8)
             f2_old = state.float_dens_2
             halos = tuple(halo_planes(a, h)
                           for a in (occ, state.inertia, f2_old, skip))
-            inertia, f1, f2 = surface_fused_pallas(
+            inertia, f1, f2 = surface_fused_auto(
                 occ, state.inertia, f2_old, skip,
                 steps=cfg.float_density_diffuse_steps,
                 k=cfg.float_density_diffuse_coefficient,

@@ -43,10 +43,14 @@ def detailed_occupancy(positions: jnp.ndarray, active: jnp.ndarray,
     inb = ((x >= 0) & (x < dx) & (y >= 0) & (y < dy) & (z >= 0) & (z < dz)
            & active)
     # scatter-SET of the constant 1 with OOB-drop routing: measured fastest
-    # scatter form on TPU (no read-modify-write); int32 beats uint8
+    # scatter form on TPU (no read-modify-write); int32 beats uint8.
+    # unique_indices=True is safe (and semantics-preserving) because every
+    # duplicate writes the same constant — it lets XLA skip the duplicate-
+    # resolution sort it otherwise inserts (5.9+0.95 -> ~2.3 ms at 1M
+    # particles, measured in the 128^3 step trace).
     flat = jnp.where(inb, x * (dy * dz) + y * dz + z, dx * dy * dz)
     occ = jnp.zeros((dx * dy * dz,), dtype=jnp.int32)
-    occ = occ.at[flat].set(1, mode="drop")
+    occ = occ.at[flat].set(1, mode="drop", unique_indices=True)
     return occ.reshape(dx, dy, dz).astype(jnp.uint8)
 
 

@@ -105,12 +105,12 @@ def update_surface_fields(types: jnp.ndarray, occ: jnp.ndarray,
 
     from tpu_fluid.kernels import pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
-    dy, dz = occ.shape[1], occ.shape[2]
-    from tpu_fluid.kernels.surface_fused import MAX_PLANE
-    if use_pallas and dy * dz <= MAX_PLANE:
-        from tpu_fluid.kernels.surface_fused import surface_fused_pallas
+    if use_pallas:
+        # surface_fused_auto y-chunks planes too large for the slab VMEM
+        # budget (the 256^3 sim / 512^2-plane config), exact by overlap
+        from tpu_fluid.kernels.surface_fused import surface_fused_auto
         skip = solid_parent_mask(types, cfg).astype(jnp.uint8)
-        return surface_fused_pallas(
+        return surface_fused_auto(
             occ, inertia, f2, skip,
             steps=cfg.float_density_diffuse_steps,
             k=cfg.float_density_diffuse_coefficient,
