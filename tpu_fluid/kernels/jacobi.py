@@ -4,10 +4,13 @@ The reference runs 200 separate Jacobi dispatches with pipeline barriers
 (`fluid_flow_sections.h:300-313`); the XLA fori_loop version already fuses
 each sweep into one pass but still moves ~34 MB of HBM per iteration
 (~7 GB per solve at 128^3).  This kernel performs K sweeps per HBM pass:
-x-slabs of the pressure field (+K-cell halo via prev/cur/next block views)
-stay resident in VMEM while K Jacobi updates run back-to-back — the halo
-region's values go progressively stale, which is exactly why the halo must
-be >= K cells wide.  HBM traffic drops by ~K/3 (the 3x is halo re-reads).
+x-slabs of the pressure field (+K-cell halo via separate per-block halo
+inputs, see _halo_blocks) stay resident in VMEM while K Jacobi updates run
+back-to-back — the halo region's values go progressively stale, which is
+exactly why the halo must be >= K cells wide.  HBM reads per pass are
+(tx+2K)/tx of the field (the halo blocks), so wide slabs with a narrow
+halo amortize the traffic; grids that fit VMEM whole skip the slab
+machinery entirely (_whole_grid_kernel).
 
 Per-frame constants are folded outside the kernel (see
 stages/pressure.jacobi_solve):
@@ -60,18 +63,21 @@ def _zshift(a, d, axis, size):
     return jnp.pad(a, pads)[tuple(idx)]
 
 
-def _jacobi_kernel(q_prev, q_cur, q_next, rd_prev, rd_cur, rd_next,
-                   c2_prev, c2_cur, c2_next,
-                   out_ref, *, k, tx, shape):
+def _jacobi_kernel(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
+                   c2_cur, c2_l, c2_r,
+                   out_ref, *, k, h, tx, shape):
+    """K fused sweeps on one x-slab.  Halos arrive as SEPARATE h-row block
+    inputs (q_l/q_r etc., see _halo_blocks) instead of full prev/next block
+    views: per-pass HBM reads drop from 3x to (tx+2h)/tx, which unlocks
+    tx >> h on big planes (the 256^3 win: ~65 ms -> ~30 ms per solve)."""
     _, gy, gz = shape
-    h = k  # halo width
 
-    def asm(prev, cur, nxt):
-        return jnp.concatenate([prev[tx - h:], cur[...], nxt[:h]], axis=0)
+    def asm(l, cur, r):
+        return jnp.concatenate([l[0], cur[...], r[0]], axis=0)
 
-    q = asm(q_prev, q_cur, q_next)            # (tx + 2h, gy, gz)
-    rd = asm(rd_prev, rd_cur, rd_next)
-    c2 = asm(c2_prev, c2_cur, c2_next)
+    q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
+    rd = asm(rd_l, rd_cur, rd_r)
+    c2 = asm(c2_l, c2_cur, c2_r)
     upd = rd > 0.0
 
     nrows = tx + 2 * h
@@ -123,33 +129,79 @@ def _whole_grid_jacobi(q, rd, c2, n_iters, interpret):
 
 
 def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int):
-    """Pick (k, tx) fitting the K-sweep working set in VMEM."""
-    tx = max(1, min(tx, max(1, 262144 // (gy * gz))))
+    """Pick (k, tx) fitting the K-sweep working set in VMEM.
+
+    VMEM model (f32 row-equivalents of the (gy, gz) plane): double-buffered
+    blocks 2*(3*tx + 6*k) + out 2*tx, assembled q/rd/c2 3*(tx+2k), loop
+    temps ~3*(tx+2k) -> 14*tx + 28*k plane-rows, against a ~110 MB
+    empirical compile budget.  Shrink k before tx: wide slabs with a
+    narrow halo amortize best (256^3 sweep, 199 sweeps: (4,16) 43.0 ms <
+    (8,16) 48.8 < (4,8) 57.6 < (2,32) 65.3; (>=4,32) exceeds VMEM)."""
+    budget_rows = (110 * 1024 * 1024 // 4) // (gy * gz)
+    tx = min(tx, gx)
+    k = min(k, tx)
+    while 14 * tx + 28 * k > budget_rows:
+        if k > 1 and k >= tx // 2:
+            k //= 2
+        elif k > 1 and 14 * tx + 28 * (k // 2) <= budget_rows:
+            k //= 2
+        elif tx > 1:
+            tx //= 2
+        else:
+            break
+    tx = max(1, tx)
     if gx % tx != 0:
         tx = next(t for t in range(min(tx, gx), 0, -1) if gx % t == 0)
     return min(k, tx), tx
 
 
-def _one_pass(q_pad, rd_pad, c2_pad, kk, tx, shape, interpret):
-    """One Pallas pass of kk fused sweeps over x-padded (gx + 2*tx) arrays.
-    Only the tx pad rows nearest the block are ever read (the kernel reads
-    prev[tx-kk:] / next[:kk]), so pads beyond the real halo may be zeros."""
+def _halo_blocks(a, nb, tx, h, edges=None):
+    """Per-block h-row x-halos of a (gx, Y, Z) array: returns (hl, hr) of
+    shape (nb, h, Y, Z) where hl[i] is the h rows just before block i and
+    hr[i] the h rows just after.  Domain-end halos are `edges` (the
+    ppermuted neighbor planes under shard_map) or zeros."""
+    gy, gz = a.shape[1], a.shape[2]
+    ar = a.reshape(nb, tx, gy, gz)
+    el, er = edges if edges is not None else (
+        jnp.zeros((h, gy, gz), a.dtype), jnp.zeros((h, gy, gz), a.dtype))
+    hl = jnp.concatenate([el[None], ar[:-1, tx - h:]], axis=0)
+    hr = jnp.concatenate([ar[1:, :h], er[None]], axis=0)
+    return hl, hr
+
+
+def _one_pass(q, rd_in, c2_in, kk, tx, shape, interpret, edges_q=None,
+              edges_rc=(None, None)):
+    """One Pallas pass of kk fused sweeps.  rd_in/c2_in are (field, hl, hr)
+    triples when the caller prebuilt their halos (loop-invariant), else raw
+    arrays."""
     gx, gy, gz = shape
-    kern = functools.partial(_jacobi_kernel, k=kk, tx=tx, shape=shape)
-    slab = lambda off: pl.BlockSpec(            # noqa: E731
-        (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
-        memory_space=pltpu.VMEM)
+    nb = gx // tx
+    qhl, qhr = _halo_blocks(q, nb, tx, kk, edges_q)
+
+    def triple(f, edges):
+        if isinstance(f, tuple):
+            return f
+        hl, hr = _halo_blocks(f, nb, tx, kk, edges)
+        return (f, hl, hr)
+
+    rd, rdhl, rdhr = triple(rd_in, edges_rc[0])
+    c2, c2hl, c2hr = triple(c2_in, edges_rc[1])
+    kern = functools.partial(_jacobi_kernel, k=kk, h=kk, tx=tx, shape=shape)
+    cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, kk, gy, gz), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(gx // tx,),
-        in_specs=[slab(0), slab(1), slab(2)] * 3,
+        grid=(nb,),
+        in_specs=[cur, halo, halo] * 3,
         out_specs=pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gx, gy, gz), q_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, gz), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*([q_pad] * 3 + [rd_pad] * 3 + [c2_pad] * 3))
+    )(q, qhl, qhr, rd, rdhl, rdhr, c2, c2hl, c2hr)
 
 
 def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
@@ -169,20 +221,20 @@ def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
     if whole_grid:
         return _whole_grid_jacobi(q, rd, c2, n_iters, interpret)
     k, tx = _slab_sizes(gx, gy, gz, k, tx)
-
-    def xpad(a):
-        return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)))
-
-    rdp, c2p = xpad(rd), xpad(c2)
     shape = (gx, gy, gz)
+    nb = gx // tx
 
     passes_full, rem = divmod(n_iters, k)
     if passes_full:
+        # rd/c2 halos are loop-invariant: build once, reuse every pass
+        rdh = (rd, *_halo_blocks(rd, nb, tx, k))
+        c2h = (c2, *_halo_blocks(c2, nb, tx, k))
+
         def body(_, qq):
-            return _one_pass(xpad(qq), rdp, c2p, k, tx, shape, interpret)
+            return _one_pass(qq, rdh, c2h, k, tx, shape, interpret)
         q = jax.lax.fori_loop(0, passes_full, body, q)
     if rem:
-        q = _one_pass(xpad(q), rdp, c2p, rem, tx, shape, interpret)
+        q = _one_pass(q, rd, c2, rem, tx, shape, interpret)
     return q
 
 
@@ -204,24 +256,28 @@ def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
     n = jax.lax.axis_size(axis_name)
     up = [(j, j + 1) for j in range(n - 1)]      # send +x
     down = [(j + 1, j) for j in range(n - 1)]    # send -x
-
-    def xpad_halo(a):
-        """(lx, Y, Z) -> (lx + 2*tx, Y, Z): real k-wide neighbor halos in the
-        pad rows adjacent to the block, zeros beyond (never read)."""
-        from_left = jax.lax.ppermute(a[lx - k:], axis_name, up)
-        from_right = jax.lax.ppermute(a[:k], axis_name, down)
-        z = jnp.zeros((tx - k, gy, gz), dtype=a.dtype)
-        return jnp.concatenate([z, from_left, a, from_right, z], axis=0)
-
-    rdp, c2p = xpad_halo(rd), xpad_halo(c2)
     shape = (lx, gy, gz)
+    nb = lx // tx
+
+    def edges(a, h):
+        """This shard's domain-edge halos: the neighbor shards' boundary
+        planes over ICI; domain-end shards receive ppermute's zeros = the
+        single-device zero-pad convention."""
+        from_left = jax.lax.ppermute(a[lx - h:], axis_name, up)
+        from_right = jax.lax.ppermute(a[:h], axis_name, down)
+        return from_left, from_right
 
     passes_full, rem = divmod(n_iters, k)
     if passes_full:
+        rdh = (rd, *_halo_blocks(rd, nb, tx, k, edges(rd, k)))
+        c2h = (c2, *_halo_blocks(c2, nb, tx, k, edges(c2, k)))
+
         def body(_, qq):
-            return _one_pass(xpad_halo(qq), rdp, c2p, k, tx, shape,
-                             interpret)
+            return _one_pass(qq, rdh, c2h, k, tx, shape, interpret,
+                             edges_q=edges(qq, k))
         q = jax.lax.fori_loop(0, passes_full, body, q)
     if rem:
-        q = _one_pass(xpad_halo(q), rdp, c2p, rem, tx, shape, interpret)
+        q = _one_pass(q, rd, c2, rem, tx, shape, interpret,
+                      edges_q=edges(q, rem),
+                      edges_rc=(edges(rd, rem), edges(c2, rem)))
     return q
