@@ -18,11 +18,14 @@ which golden tests pin to the shaders):
       mask) but still contribute to neighbours' sums; out-of-grid neighbour
       reads are 0
 
-The x halo follows kernels/jacobi.py: prev/cur/next block views of x-padded
-inputs with an H-wide real halo (H = blur_steps + 1: one cell for the
-inertia stencil plus one per blur pass); y/z out-of-grid reads are
-zero-filled in-register.  Zero pads at the domain ends reproduce the GLSL
-robust-access zeros, so the kernel is shard-agnostic the same way.
+The x halo follows kernels/jacobi.py: each block receives its H-row
+neighbor halos as SEPARATE (1, H, Y, Z) block inputs (jacobi._halo_blocks;
+H = blur_steps + 1: one cell for the inertia stencil plus one per blur
+pass), so per-pass HBM reads are (tx+2H)/tx of each field instead of the
+3x of full prev/cur/next views, and the fields need no physical x-padding.
+y/z out-of-grid reads are zero-filled in-register.  Zero halos at the
+domain ends reproduce the GLSL robust-access zeros, so the kernel is
+shard-agnostic the same way.
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_fluid.kernels.jacobi import _zshift
+from tpu_fluid.kernels.jacobi import _halo_blocks, _zshift
 
 
 def _neighbor_sum(a, nrows, gy, gz):
@@ -43,8 +46,8 @@ def _neighbor_sum(a, nrows, gy, gz):
             + _zshift(a, 1, 2, gz) + _zshift(a, -1, 2, gz))
 
 
-def _surface_kernel(x0_ref, occ_p, occ_c, occ_n, in_p, in_c, in_n,
-                    f2_p, f2_c, f2_n, sk_p, sk_c, sk_n,
+def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
+                    f2_c, f2_l, f2_r, sk_c, sk_l, sk_r,
                     inertia_out, f1_out, f2_out, *,
                     h, tx, shape, y0, ggy, steps, k, inc_filled, inc_neigh,
                     required_hits, dec, max_inertia, div_coef):
@@ -64,16 +67,16 @@ def _surface_kernel(x0_ref, occ_p, occ_c, occ_n, in_p, in_c, in_n,
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    def asm(prev, cur, nxt):
-        parts = [prev[tx - h:], cur[...], nxt[:h]]
+    def asm(l, cur, r):
+        parts = [l[0], cur[...], r[0]]
         if dummy:
             parts.append(jnp.zeros((dummy, gy, gz), dtype=cur.dtype))
         return jnp.concatenate(parts, axis=0)
 
-    occ = asm(occ_p, occ_c, occ_n)
-    inertia = asm(in_p, in_c, in_n).astype(jnp.int32)
-    f2_old = asm(f2_p, f2_c, f2_n)
-    skip = asm(sk_p, sk_c, sk_n) != 0
+    occ = asm(occ_l, occ_c, occ_r)
+    inertia = asm(in_l, in_c, in_r).astype(jnp.int32)
+    f2_old = asm(f2_l, f2_c, f2_r)
+    skip = asm(sk_l, sk_c, sk_r) != 0
 
     # global-x in-domain mask: the pad rows of the first/last block lie
     # outside the domain; every field OOB must read as the GLSL robust zero
@@ -132,7 +135,7 @@ def _slab_tx(gx: int, gy: int, gz: int, h: int, tx: int) -> int:
     """Slab rows per program: the working set is ~8 live (tx+2h, gy, gz)
     f32 temporaries; shrink tx on large planes.  Falls back to the smallest
     divisor of gx >= h when nothing in [h, tx] divides (e.g. gx = 121)."""
-    tx = max(h, min(tx, max(h, 524288 // (gy * gz))))
+    tx = max(h, min(tx, max(h, 1048576 // (gy * gz))))
     if gx % tx != 0:
         tx = next((t for t in range(min(tx, gx), h - 1, -1)
                    if gx % t == 0), None)
@@ -146,7 +149,7 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
                          steps: int, k: float, inc_filled: int,
                          inc_neigh: int, required_hits: int, dec: int,
                          max_inertia: int, div_coef: float,
-                         tx: int = 8, halos=None, x0=None,
+                         tx: int = 16, halos=None, x0=None,
                          global_gx: int | None = None,
                          y0: int = 0, global_gy: int | None = None,
                          interpret: bool = False):
@@ -167,19 +170,14 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
     gx, gy, gz = occ.shape
     h = steps + 1
     tx = _slab_tx(gx, gy, gz, h, tx)
-
-    def xpad(a, halo):
-        if halo is None:
-            return jnp.pad(a, ((tx, tx), (0, 0), (0, 0)))
-        left, right = halo
-        z = jnp.zeros((tx - h, gy, gz), dtype=a.dtype)
-        return jnp.concatenate([z, left, a, right, z], axis=0)
+    nb = gx // tx
 
     halos = halos or (None,) * 4
-    occ_p = xpad(occ, halos[0])
-    in_p = xpad(inertia, halos[1])
-    f2_p = xpad(f2, halos[2])
-    sk_p = xpad(skip.astype(jnp.uint8), halos[3])
+    skip = skip.astype(jnp.uint8)
+    fields = []
+    for a, halo in zip((occ, inertia, f2, skip), halos):
+        hl, hr = _halo_blocks(a, nb, tx, h, halo)
+        fields += [a, hl, hr]
     x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
         jnp.asarray(x0, jnp.int32).reshape(1)
 
@@ -190,16 +188,17 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
         k=float(k), inc_filled=int(inc_filled), inc_neigh=int(inc_neigh),
         required_hits=int(required_hits), dec=int(dec),
         max_inertia=int(max_inertia), div_coef=float(div_coef))
-    slab = lambda off: pl.BlockSpec(            # noqa: E731
-        (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
-        memory_space=pltpu.VMEM)
+    cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, h, gy, gz), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(gx // tx,),
+        grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [slab(0), slab(1), slab(2)] * 4,
+        + [cur, halo_spec, halo_spec] * 4,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), jnp.int32),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
@@ -207,12 +206,12 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0a, *([occ_p] * 3 + [in_p] * 3 + [f2_p] * 3 + [sk_p] * 3))
+    )(x0a, *fields)
 
 
 def surface_fused_auto(occ, inertia, f2, skip, *, steps, k, inc_filled,
                        inc_neigh, required_hits, dec, max_inertia, div_coef,
-                       tx: int = 8, halos=None, x0=None,
+                       tx: int = 16, halos=None, x0=None,
                        global_gx: int | None = None,
                        max_plane: int = MAX_PLANE,
                        interpret: bool = False):
