@@ -33,6 +33,9 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
     import jax
     import numpy as np
 
+    from tpu_fluid.utils.cache import enable_compilation_cache
+    enable_compilation_cache()   # warm starts: skip the 20-40 s compile
+
     from tpu_fluid.core.config import FluidConfig
     from tpu_fluid.core.state import initial_state
     from tpu_fluid.solver.step import simulation_step

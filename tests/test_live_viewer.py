@@ -1,0 +1,69 @@
+"""Live HTTP viewer (render/live.py): stream, key routing, state.
+
+The headless counterpart of the reference's interactive GLFW window
+(`main.cpp:152-166`): Q/E pause/resume, R/F surface toggles, camera keys.
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.engine import Simulation
+from tpu_fluid.render.live import LiveViewer
+
+
+@pytest.fixture()
+def viewer():
+    cfg = FluidConfig.scaled_scene(8, particle_count=64, jacobi_iters=1)
+    sim = Simulation(cfg)
+    v = LiveViewer(sim, port=0).start()     # port 0: OS-assigned
+    yield v
+    v.stop()
+
+
+def _get(v, path):
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{v.port}{path}", timeout=10)
+
+
+def test_page_and_state(viewer):
+    assert b"/stream" in _get(viewer, "/").read()
+    st = json.loads(_get(viewer, "/state").read())
+    assert st == {"paused": False, "surface": True, "particles": True,
+                  "frames": 0}
+
+
+def test_keys_drive_simulation(viewer):
+    sim = viewer.sim
+    _get(viewer, "/key?k=q")
+    assert sim.paused
+    _get(viewer, "/key?k=e")
+    assert not sim.paused
+    _get(viewer, "/key?k=r")
+    assert not sim.render_surface
+    _get(viewer, "/key?k=f")
+    assert sim.render_surface
+    _get(viewer, "/key?k=p")
+    assert not sim.render_particles
+    pos0 = np.asarray(sim.camera.position)
+    _get(viewer, "/key?k=a")
+    assert not np.allclose(np.asarray(sim.camera.position), pos0)
+    _get(viewer, "/key?k=w")   # dolly toward the scene center
+    c = np.asarray(sim.cfg.grid_size) / 2.0
+    assert (np.linalg.norm(np.asarray(sim.camera.position) - c)
+            < np.linalg.norm(pos0 - c) + 2.1)
+
+
+def test_stream_delivers_pushed_frame(viewer):
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[4:12, 4:12] = 200
+    resp = _get(viewer, "/stream")
+    viewer.push(img)
+    # read one multipart chunk: boundary + headers + JPEG magic
+    head = resp.read(64)
+    assert b"--frame" in head and b"image/jpeg" in head
+    body = resp.read(512)
+    assert b"\xff\xd8" in head + body      # JPEG SOI marker

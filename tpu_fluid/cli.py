@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's demo-video counterpart); "
                         "requires --frame-every")
     p.add_argument("--video-fps", type=int, default=25)
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="start the live HTTP viewer on PORT: MJPEG stream "
+                        "+ browser key controls (q/e pause/resume, r/f "
+                        "surface, p particles, a/d orbit, w/s dolly) — the "
+                        "reference's interactive window, headless; requires "
+                        "--frame-every")
     p.add_argument("--orbit-deg", type=float, default=0.0,
                    help="orbit the camera this many degrees around the "
                         "scene center between rendered frames")
@@ -168,6 +174,10 @@ def config_from_args(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # persistent XLA cache: later invocations skip the 20-40 s-per-program
+    # remote compiles of the step / multi-step / render chain
+    from tpu_fluid.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from tpu_fluid.engine import Simulation
 
     if args.resume:
@@ -199,6 +209,8 @@ def main(argv=None) -> int:
 
     if args.video and not args.frame_every:
         raise SystemExit("--video requires --frame-every")
+    if args.serve is not None and not args.frame_every:
+        raise SystemExit("--serve requires --frame-every")
 
     t0 = time.time()
     sim.run(args.steps,
@@ -210,6 +222,7 @@ def main(argv=None) -> int:
             video_path=args.video, video_fps=args.video_fps,
             orbit_deg_per_frame=args.orbit_deg,
             render_method=args.render_method,
+            serve_port=args.serve,
             mesh_every=args.mesh_every)
     import numpy as np
     np.asarray(sim.state.positions[:1])    # force completion BEFORE timing

@@ -178,7 +178,8 @@ class Simulation:
             orbit_deg_per_frame: float = 0.0,
             save_frames: bool = True,
             render_method: str = "splat",
-            mesh_every: int = 0, mesh_dir: Optional[str] = None):
+            mesh_every: int = 0, mesh_dir: Optional[str] = None,
+            serve_port: Optional[int] = None):
         """The headless main loop (also what the CLI drives).
 
         With `video_path`, every rendered frame is also collected into a
@@ -188,13 +189,31 @@ class Simulation:
         `orbit_deg_per_frame` rotates the camera about the scene center
         between frames (the reference's interactive fly camera as a scripted
         path).  `mesh_every` dumps the marching-cubes surface as OBJ into
-        `mesh_dir` (default `frame_dir`).
+        `mesh_dir` (default `frame_dir`).  `serve_port` starts the live
+        HTTP viewer (render/live.py): frames stream as MJPEG and browser
+        keys drive pause/camera/toggles — the reference's interactive
+        window (`main.cpp:152-166`), headless.  While paused, the loop
+        keeps rendering (reference pause semantics) without stepping.
         """
         from tpu_fluid.render.export import write_obj, write_png, write_video
         center = tuple(g / 2.0 for g in self.cfg.grid_size)
+        viewer = None
+        if serve_port is not None:
+            from tpu_fluid.render.live import LiveViewer
+            viewer = LiveViewer(self, port=serve_port).start()
+            print(f"live viewer: http://localhost:{viewer.port}/",
+                  flush=True)
         frames = []
         done = 0
         while done < n_steps:
+            if viewer is not None and self.paused:
+                import time as _time
+                img = np.asarray(jax.device_get(
+                    self.render_frame(width, height,
+                                      method=render_method)))
+                viewer.push(img)
+                _time.sleep(0.25)
+                continue
             chunk = n_steps - done
             for cadence in (frame_every, log_every, checkpoint_every,
                             mesh_every):
@@ -210,6 +229,8 @@ class Simulation:
                                                     center)
                 img = np.asarray(jax.device_get(
                     self.render_frame(width, height, method=render_method)))
+                if viewer is not None:
+                    viewer.push(img)
                 if video_path:
                     frames.append(img)
                 if save_frames:
