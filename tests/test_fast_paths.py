@@ -113,3 +113,25 @@ def test_jacobi_whole_grid_matches_slab_interpret():
     slab = jacobi_sweeps_pallas(q0, rd, c2, 17, interpret=True,
                                 whole_grid=False)
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(slab))
+
+
+def test_jacobi_direct_halo_blocks_match():
+    """The direct-halo slab path (k | tx: halo blocks read straight from
+    the field with clamped index maps + edge masking) must match the
+    materialized-halo path (k does not divide tx) and the whole-grid kernel
+    bitwise."""
+    from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
+    r = np.random.default_rng(7)
+    n = 16
+    water = jnp.asarray(r.random((n, n, n)) < 0.4)
+    rd = jnp.where(water, jnp.float32(0.25), 0.0)
+    c2 = jnp.asarray(r.standard_normal((n, n, n)).astype(np.float32))
+    q0 = jnp.where(water, jnp.float32(1.0), 0.0)
+    whole = jacobi_sweeps_pallas(q0, rd, c2, 9, interpret=True,
+                                 whole_grid=True)
+    direct = jacobi_sweeps_pallas(q0, rd, c2, 9, k=4, tx=16, interpret=True,
+                                  whole_grid=False)     # 4 | 16 -> direct
+    mat = jacobi_sweeps_pallas(q0, rd, c2, 9, k=3, tx=16, interpret=True,
+                               whole_grid=False)        # 3 does not divide
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(direct))
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(mat))

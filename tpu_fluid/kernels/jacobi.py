@@ -63,6 +63,16 @@ def _zshift(a, d, axis, size):
     return jnp.pad(a, pads)[tuple(idx)]
 
 
+def _sweeps(q, rd, c2, k, nrows, gy, gz):
+    upd = rd > 0.0
+    for _ in range(k):
+        neigh = (_zshift(q, 1, 0, nrows) + _zshift(q, -1, 0, nrows)
+                 + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
+                 + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz))
+        q = jnp.where(upd, neigh * rd + c2, q)
+    return q
+
+
 def _jacobi_kernel(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
                    c2_cur, c2_l, c2_r,
                    out_ref, *, k, h, tx, shape):
@@ -78,16 +88,29 @@ def _jacobi_kernel(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
     q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
     rd = asm(rd_l, rd_cur, rd_r)
     c2 = asm(c2_l, c2_cur, c2_r)
-    upd = rd > 0.0
+    out_ref[...] = _sweeps(q, rd, c2, k, tx + 2 * h, gy, gz)[h:h + tx]
 
-    nrows = tx + 2 * h
-    for _ in range(k):
-        neigh = (_zshift(q, 1, 0, nrows) + _zshift(q, -1, 0, nrows)
-                 + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
-                 + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz))
-        q = jnp.where(upd, neigh * rd + c2, q)
 
-    out_ref[...] = q[h:h + tx]
+def _jacobi_kernel_direct(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
+                          c2_cur, c2_l, c2_r,
+                          out_ref, *, k, h, tx, shape, nb):
+    """_jacobi_kernel with the halo blocks read DIRECTLY from the field
+    arrays via h-row-unit BlockSpecs (no per-pass halo materialization —
+    that cost ~9 ms/step of copies at 256^3).  Domain-end programs read a
+    clamped (garbage) block; it is masked to the zero-pad convention here.
+    Requires h | tx (index maps count in h-row units)."""
+    _, gy, gz = shape
+    i = pl.program_id(0)
+
+    def asm(l, cur, r):
+        lv = jnp.where(i == 0, jnp.zeros_like(l[...]), l[...])
+        rv = jnp.where(i == nb - 1, jnp.zeros_like(r[...]), r[...])
+        return jnp.concatenate([lv, cur[...], rv], axis=0)
+
+    q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
+    rd = asm(rd_l, rd_cur, rd_r)
+    c2 = asm(c2_l, c2_cur, c2_r)
+    out_ref[...] = _sweeps(q, rd, c2, k, tx + 2 * h, gy, gz)[h:h + tx]
 
 
 def _whole_grid_kernel(q_ref, rd_ref, c2_ref, out_ref, *, iters, shape):
@@ -114,6 +137,10 @@ def _whole_grid_kernel(q_ref, rd_ref, c2_ref, out_ref, *, iters, shape):
 # neighbor accumulator, shift temp, update mask); cap the grid so that stays
 # comfortably inside v5e's 128 MB VMEM.
 _WHOLE_GRID_MAX_CELLS = 128 * 128 * 128
+
+# Unroll the pass chain up to this many passes (bounds compile time; a
+# 200-iter solve is <= 50 passes at k=4)
+_UNROLL_PASSES = 64
 
 
 def _whole_grid_jacobi(q, rd, c2, n_iters, interpret):
@@ -173,9 +200,40 @@ def _one_pass(q, rd_in, c2_in, kk, tx, shape, interpret, edges_q=None,
               edges_rc=(None, None)):
     """One Pallas pass of kk fused sweeps.  rd_in/c2_in are (field, hl, hr)
     triples when the caller prebuilt their halos (loop-invariant), else raw
-    arrays."""
+    arrays.  Single-device passes with kk | tx take the DIRECT path: halo
+    blocks are read straight out of the field arrays (kk-row-unit index
+    maps, domain ends masked in-kernel) — no halo materialization at all."""
     gx, gy, gz = shape
     nb = gx // tx
+    cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    direct = (edges_q is None and edges_rc == (None, None)
+              and not isinstance(rd_in, tuple) and tx % kk == 0 and nb > 0)
+    if direct:
+        r0 = tx // kk
+        last = nb * r0 - 1
+        lspec = pl.BlockSpec(
+            (kk, gy, gz),
+            lambda i: (jnp.maximum(i * r0 - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM)
+        rspec = pl.BlockSpec(
+            (kk, gy, gz),
+            lambda i: (jnp.minimum((i + 1) * r0, last), 0, 0),
+            memory_space=pltpu.VMEM)
+        kern = functools.partial(_jacobi_kernel_direct, k=kk, h=kk, tx=tx,
+                                 shape=shape, nb=nb)
+        return pl.pallas_call(
+            kern, grid=(nb,),
+            in_specs=[cur, lspec, rspec] * 3,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((gx, gy, gz), q.dtype),
+            compiler_params=params, interpret=interpret,
+        )(q, q, q, rd_in, rd_in, rd_in, c2_in, c2_in, c2_in)
+
     qhl, qhr = _halo_blocks(q, nb, tx, kk, edges_q)
 
     def triple(f, edges):
@@ -187,19 +245,15 @@ def _one_pass(q, rd_in, c2_in, kk, tx, shape, interpret, edges_q=None,
     rd, rdhl, rdhr = triple(rd_in, edges_rc[0])
     c2, c2hl, c2hr = triple(c2_in, edges_rc[1])
     kern = functools.partial(_jacobi_kernel, k=kk, h=kk, tx=tx, shape=shape)
-    cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
     halo = pl.BlockSpec((1, kk, gy, gz), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[cur, halo, halo] * 3,
-        out_specs=pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((gx, gy, gz), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=params,
         interpret=interpret,
     )(q, qhl, qhr, rd, rdhl, rdhr, c2, c2hl, c2hr)
 
@@ -226,13 +280,26 @@ def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
 
     passes_full, rem = divmod(n_iters, k)
     if passes_full:
-        # rd/c2 halos are loop-invariant: build once, reuse every pass
-        rdh = (rd, *_halo_blocks(rd, nb, tx, k))
-        c2h = (c2, *_halo_blocks(c2, nb, tx, k))
+        if tx % k == 0:
+            # direct path: halo blocks read straight from the fields
+            rdh, c2h = rd, c2
+        else:
+            # rd/c2 halos are loop-invariant: build once, reuse every pass
+            rdh = (rd, *_halo_blocks(rd, nb, tx, k))
+            c2h = (c2, *_halo_blocks(c2, nb, tx, k))
 
-        def body(_, qq):
-            return _one_pass(qq, rdh, c2h, k, tx, shape, interpret)
-        q = jax.lax.fori_loop(0, passes_full, body, q)
+        if passes_full <= _UNROLL_PASSES:
+            # UNROLLED pass chain: a lax.fori_loop carry forces XLA to
+            # copy q between the pallas output and the loop slot every
+            # pass (+10 ms/solve at 256^3, profiled); the straight-line
+            # chain lets buffer assignment alias them (43 -> 32.8 ms,
+            # bitwise equal).  Compile cost is paid once (utils/cache.py).
+            for _ in range(passes_full):
+                q = _one_pass(q, rdh, c2h, k, tx, shape, interpret)
+        else:
+            def body(_, qq):
+                return _one_pass(qq, rdh, c2h, k, tx, shape, interpret)
+            q = jax.lax.fori_loop(0, passes_full, body, q)
     if rem:
         q = _one_pass(q, rd, c2, rem, tx, shape, interpret)
     return q
@@ -272,10 +339,18 @@ def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
         rdh = (rd, *_halo_blocks(rd, nb, tx, k, edges(rd, k)))
         c2h = (c2, *_halo_blocks(c2, nb, tx, k, edges(c2, k)))
 
-        def body(_, qq):
-            return _one_pass(qq, rdh, c2h, k, tx, shape, interpret,
-                             edges_q=edges(qq, k))
-        q = jax.lax.fori_loop(0, passes_full, body, q)
+        if passes_full <= _UNROLL_PASSES:
+            # unrolled for the same loop-carry-copy reason as the
+            # single-device driver (also unrolls the per-pass ppermutes
+            # into the straight-line program)
+            for _ in range(passes_full):
+                q = _one_pass(q, rdh, c2h, k, tx, shape, interpret,
+                              edges_q=edges(q, k))
+        else:
+            def body(_, qq):
+                return _one_pass(qq, rdh, c2h, k, tx, shape, interpret,
+                                 edges_q=edges(qq, k))
+            q = jax.lax.fori_loop(0, passes_full, body, q)
     if rem:
         q = _one_pass(q, rd, c2, rem, tx, shape, interpret,
                       edges_q=edges(q, rem),
