@@ -115,6 +115,28 @@ def test_jacobi_whole_grid_matches_slab_interpret():
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(slab))
 
 
+def test_advect_one_matches_all_and_shift():
+    """advect_one_pallas (per-component, direct vel halos + in-register
+    face-center velocity — the big-plane path) must match advect_all_pallas
+    and the XLA shift oracle."""
+    from tpu_fluid.kernels.advect import advect_all_pallas, advect_one_pallas
+    rng = np.random.default_rng(3)
+    types = jnp.asarray(random_types(rng).astype(np.uint8))
+    vel = jnp.asarray(
+        3.0 * rng.standard_normal((3, N, N, N)).astype(np.float32))
+    r = CFG.advect_max_displacement
+    cond3 = jnp.stack([vstages._advect_condition(types, c)
+                       for c in range(3)]).astype(jnp.uint8)
+    all_k = advect_all_pallas(vel, cond3, r, CFG.dt, interpret=True)
+    ref = vstages.advect_shift(types, vel, CFG)
+    for c in range(3):
+        one = advect_one_pallas(vel, cond3[c], c, r, CFG.dt,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(all_k[c]))
+        np.testing.assert_allclose(np.asarray(one), np.asarray(ref[c]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_jacobi_direct_halo_blocks_match():
     """The direct-halo slab path (k | tx: halo blocks read straight from
     the field with clamped index maps + edge masking) must match the

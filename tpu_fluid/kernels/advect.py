@@ -101,23 +101,13 @@ def _advect_component_kernel(x0_ref, prev_ref, cur_ref, next_ref, u_ref,
     out_ref[...] = jnp.where(cond_ref[...] != 0, acc, old_ref[...])
 
 
-def _advect_all_kernel(x0_ref, prev_ref, cur_ref, next_ref, cond_ref,
-                       out_ref, *, r, tx, shape, dt):
-    """All 3 staggered components in one program; the face-center velocity
-    (the first, grid-aligned sample of `advect.comp:74-78`) is computed
-    in-register from the same assembled slabs instead of materializing the
-    9 displacement fields in HBM.  `shape` is the GLOBAL domain; x0_ref the
-    shard's global x offset (0 single-device)."""
+def _advect_comps(a, x0, i, comps, *, r, tx, shape, dt, out_dtype):
+    """Shared advection body on an assembled slab `a` (3, TX+2R, Y+2R, Z):
+    returns [(advected, passthrough)] for each requested component.  The
+    face-center velocity (the first, grid-aligned sample of
+    `advect.comp:74-78`) is computed in-register — no displacement fields
+    ever touch HBM."""
     gx, gy, gz = shape
-    i = pl.program_id(0)
-    x0 = x0_ref[0]
-
-    # --- assemble (3, TX+2R, Y+2R, Z+2R) with x halo + y/z edge pads ------
-    a = jnp.concatenate(
-        [prev_ref[:, tx - r:], cur_ref[...], next_ref[:, :r]], axis=1)
-    a = jnp.concatenate(
-        [jnp.repeat(a[:, :, :1], r, axis=2), a,
-         jnp.repeat(a[:, :, -1:], r, axis=2)], axis=2)
     # z handled by materialized pre-shifted variants (concat forces one
     # lane-roll each; repeated lane-offset slices of a padded array would
     # relayout on every one of the 375 MAC terms)
@@ -150,8 +140,8 @@ def _advect_all_kernel(x0_ref, prev_ref, cur_ref, next_ref, cond_ref,
     coords = (x, y, z)
     dims = (gx, gy, gz)
 
-    outs = []
-    for c in range(3):
+    results = []
+    for c in comps:
         # face-center velocity of component c's faces: own comp = stored
         # value; others = 4-point average over {i_c-1, i_c} x {i_c', i_c'+1}
         vface = []
@@ -183,14 +173,131 @@ def _advect_all_kernel(x0_ref, prev_ref, cur_ref, next_ref, cond_ref,
             return ((os_[d] == delta) * (1.0 - fs[d])
                     + (os_[d] == delta - 1) * fs[d])
 
-        acc = jnp.zeros((tx, gy, gz), dtype=out_ref.dtype)
+        acc = jnp.zeros((tx, gy, gz), dtype=out_dtype)
         for dx in range(-r, r + 1):
             for dy in range(-r, r + 1):
                 wxy = w(0, dx) * w(1, dy)
                 for dz in range(-r, r + 1):
                     acc = acc + (wxy * w(2, dz)) * sl(c, dx, dy, dz)
-        outs.append(jnp.where(cond_ref[c] != 0, acc, sl(c, 0, 0, 0)))
-    out_ref[...] = jnp.stack(outs, axis=0)
+        results.append((acc, sl(c, 0, 0, 0)))
+    return results
+
+
+def _advect_all_kernel(x0_ref, prev_ref, cur_ref, next_ref, cond_ref,
+                       out_ref, *, r, tx, shape, dt):
+    """All 3 staggered components in one program via _advect_comps.
+    `shape` is the GLOBAL domain; x0_ref the shard's global x offset
+    (0 single-device)."""
+    i = pl.program_id(0)
+    x0 = x0_ref[0]
+    # --- assemble (3, TX+2R, Y+2R, Z) with x halo + y edge pads -----------
+    a = jnp.concatenate(
+        [prev_ref[:, tx - r:], cur_ref[...], next_ref[:, :r]], axis=1)
+    a = jnp.concatenate(
+        [jnp.repeat(a[:, :, :1], r, axis=2), a,
+         jnp.repeat(a[:, :, -1:], r, axis=2)], axis=2)
+    res = _advect_comps(a, x0, i, (0, 1, 2), r=r, tx=tx, shape=shape,
+                        dt=dt, out_dtype=out_ref.dtype)
+    out_ref[...] = jnp.stack(
+        [jnp.where(cond_ref[c] != 0, acc, old)
+         for c, (acc, old) in enumerate(res)], axis=0)
+
+
+def _advect_one_impl(x0_ref, cur_ref, l_ref, r_ref, el, er,
+                     cond_ref, out_ref, *, c, r, tx, shape, nb, dt):
+    """One staggered component per program, with the vel x-halos read
+    DIRECTLY from the field via r-row-unit clamped block index maps (no
+    displacement or halo materialization in HBM — the big-plane path that
+    replaced the 3x-view + XLA-built-u component kernel).  Domain-end
+    programs replace the clamped (garbage) halo block with the edge rule:
+    edge-replication of the domain boundary row (el/er None, single
+    device) or the ppermuted neighbor planes in el/er (shard_map)."""
+    i = pl.program_id(0)
+    x0 = x0_ref[0]
+    cur = cur_ref[...]
+    if el is None:
+        el = jnp.concatenate([cur[:, :1]] * r, axis=1)
+        er = jnp.concatenate([cur[:, -1:]] * r, axis=1)
+    lv = jnp.where(i == 0, el, l_ref[...])
+    rv = jnp.where(i == nb - 1, er, r_ref[...])
+    a = jnp.concatenate([lv, cur, rv], axis=1)     # (3, TX+2R, Y, Z)
+    a = jnp.concatenate(
+        [jnp.repeat(a[:, :, :1], r, axis=2), a,
+         jnp.repeat(a[:, :, -1:], r, axis=2)], axis=2)
+    (acc, old), = _advect_comps(a, x0, i, (c,), r=r, tx=tx, shape=shape,
+                                dt=dt, out_dtype=out_ref.dtype)
+    out_ref[...] = jnp.where(cond_ref[...] != 0, acc, old)
+
+
+def _advect_one_kernel_rep(x0_ref, cur_ref, l_ref, r_ref, cond_ref,
+                           out_ref, **kw):
+    _advect_one_impl(x0_ref, cur_ref, l_ref, r_ref, None, None,
+                     cond_ref, out_ref, **kw)
+
+
+def _advect_one_kernel_halo(x0_ref, cur_ref, l_ref, r_ref, el_ref, er_ref,
+                            cond_ref, out_ref, **kw):
+    _advect_one_impl(x0_ref, cur_ref, l_ref, r_ref, el_ref[...], er_ref[...],
+                     cond_ref, out_ref, **kw)
+
+
+def advect_one_pallas(vel: jnp.ndarray, cond: jnp.ndarray, c: int, r: int,
+                      dt: float, tx: int = 4, halo=None, x0=None,
+                      global_shape=None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Advect ONE staggered component with in-register face-center
+    velocity and direct halo blocks.  vel: (3, X, Y, Z); cond: (X, Y, Z)
+    advection mask for component c.  Sharded use: `halo` = (left, right)
+    (3, r, Y, Z) neighbor planes, `x0` the shard's global x offset,
+    `global_shape` the full domain.  Requires r | tx | gx (the caller
+    falls back to advect_component_pallas otherwise)."""
+    _, gx, gy, gz = vel.shape
+    # the (2R+1)^3 MAC tree over 3 assembled components spills register
+    # slots aggressively; tx=2 fits at a 256^2 plane where tx=4 OOMs VMEM
+    tx = max(r, min(tx, max(1, 131072 // (gy * gz))))
+    tx = next((t for t in range(min(tx, gx), r - 1, -1)
+               if gx % t == 0 and t % r == 0), None)
+    if tx is None:
+        raise ValueError(f"no feasible slab size for gx={gx}, r={r}")
+    nb = gx // tx
+    t0 = tx // r
+    last = gx // r - 1
+    x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
+        jnp.asarray(x0, jnp.int32).reshape(1)
+    cur = pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((3, r, gy, gz),
+                         lambda i: (0, jnp.maximum(i * t0 - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((3, r, gy, gz),
+                         lambda i: (0, jnp.minimum((i + 1) * t0, last), 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((3, r, gy, gz), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kw = dict(c=c, r=r, tx=tx, shape=global_shape or (gx, gy, gz), nb=nb,
+              dt=dt)
+    common = dict(
+        grid=(nb,),
+        out_specs=pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, gz), vel.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cond = cond.astype(jnp.uint8)
+    if halo is None:
+        kern = functools.partial(_advect_one_kernel_rep, **kw)
+        return pl.pallas_call(
+            kern, in_specs=[smem, cur, lspec, rspec, cspec], **common,
+        )(x0a, vel, vel, vel, cond)
+    kern = functools.partial(_advect_one_kernel_halo, **kw)
+    return pl.pallas_call(
+        kern, in_specs=[smem, cur, lspec, rspec, espec, espec, cspec],
+        **common,
+    )(x0a, vel, vel, vel, halo[0], halo[1], cond)
 
 
 def _xpad(a, tx, halo, r):

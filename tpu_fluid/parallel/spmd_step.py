@@ -156,16 +156,24 @@ def _advect_spmd(types: jnp.ndarray, vel: jnp.ndarray, cfg: FluidConfig,
             return advect_all_pallas(vel, cond3, r, cfg.dt, halo=halo,
                                      x0=x0, global_shape=gshape,
                                      interpret=interpret)
-        vel_e = halo_extend(vel, 1)
+        from tpu_fluid.kernels.advect import advect_one_pallas
+        halo = halo_planes(vel, r)
         out = []
         for c in range(3):
             cond = halo_inner(vstages._advect_condition(types_e, c,
                                                         x0=x0 - 1))
-            u = halo_inner(-vstages.face_center_velocity(vel_e, c) * cfg.dt)
-            halo_c = halo_planes(vel[c], r)
-            out.append(advect_component_pallas(
-                vel[c], u, cond, r, tx=2, halo=halo_c, x0=x0,
-                global_shape=gshape, interpret=interpret))
+            try:
+                out.append(advect_one_pallas(
+                    vel, cond, c, r, cfg.dt, halo=halo, x0=x0,
+                    global_shape=gshape, interpret=interpret))
+            except ValueError:
+                vel_e = halo_extend(vel, 1)
+                u = halo_inner(-vstages.face_center_velocity(vel_e, c)
+                               * cfg.dt)
+                halo_c = halo_planes(vel[c], r)
+                out.append(advect_component_pallas(
+                    vel[c], u, cond, r, tx=2, halo=halo_c, x0=x0,
+                    global_shape=gshape, interpret=interpret))
         return jnp.stack(out)
 
     h = r + 1

@@ -153,7 +153,8 @@ def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
     components + in-register face-center velocities); same semantics as
     advect_shift."""
     from tpu_fluid.kernels.advect import (advect_all_pallas,
-                                          advect_component_pallas)
+                                          advect_component_pallas,
+                                          advect_one_pallas)
     r = cfg.advect_max_displacement
     _, gx, gy, gz = vel.shape
     if gy * gz <= 128 * 128:
@@ -161,13 +162,21 @@ def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
                           ).astype(jnp.uint8)
         return advect_all_pallas(vel, cond3, r, cfg.dt, interpret=interpret)
     # large y*z planes: the fused kernel's unrolled MAC tree spills VMEM;
-    # run one component per kernel (1/3 of the live set) instead
+    # run one component per kernel (1/3 of the live set) instead.
+    # advect_one_pallas keeps the face-center velocity in-register and
+    # reads vel halos directly (no u fields or 3x views through HBM);
+    # grids without an r|tx|gx slab factorization take the older
+    # materialized-u component kernel.
     out = []
     for c in range(3):
         cond = _advect_condition(types, c)
-        u = -face_center_velocity(vel, c) * cfg.dt
-        out.append(advect_component_pallas(vel[c], u, cond, r, tx=2,
-                                           interpret=interpret))
+        try:
+            out.append(advect_one_pallas(vel, cond, c, r, cfg.dt,
+                                         interpret=interpret))
+        except ValueError:
+            u = -face_center_velocity(vel, c) * cfg.dt
+            out.append(advect_component_pallas(vel[c], u, cond, r, tx=2,
+                                               interpret=interpret))
     return jnp.stack(out)
 
 
