@@ -96,6 +96,16 @@ def init_particles(cfg: FluidConfig) -> tuple[jax.Array, jax.Array]:
 
 
 def initial_state(cfg: FluidConfig) -> FluidState:
+    """Allocate + initialize all state — one jitted program.
+
+    Eagerly, the clears + particle spawn dispatch dozens of tiny ops; on a
+    remote-compile TPU runtime each eager op pays a compile round trip
+    (measured 18.9 s of wall for this function at the 128^3 bench config).
+    One jit makes it a single (persistent-cacheable) program."""
+    return _initial_state_jitted(cfg)
+
+
+def _initial_state(cfg: FluidConfig) -> FluidState:
     """Allocate + initialize all state.
 
     Mirrors the reference's init command buffer (`main.cpp:108-122`): clear
@@ -119,6 +129,9 @@ def initial_state(cfg: FluidConfig) -> FluidState:
         detailed_occ=detailed_occupancy(pos, active, cfg),
         step=jnp.zeros((), dtype=jnp.int32),
     )
+
+
+_initial_state_jitted = jax.jit(_initial_state, static_argnums=0)
 
 
 def state_bytes(state: FluidState) -> int:
