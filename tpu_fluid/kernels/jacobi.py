@@ -64,12 +64,15 @@ def _zshift(a, d, axis, size):
 
 
 def _sweeps(q, rd, c2, k, nrows, gy, gz):
-    upd = rd > 0.0
+    # Select-free sweep: non-updating cells have rd == 0, so
+    # q' = neigh*0 + c2e keeps them at their input value when c2e is
+    # pre-folded to that value — ONE select per pass instead of one per
+    # sweep (bitwise-identical: 0*finite + x == x, incl. -0 + x).
+    c2e = jnp.where(rd > 0.0, c2, q)
     for _ in range(k):
-        neigh = (_zshift(q, 1, 0, nrows) + _zshift(q, -1, 0, nrows)
-                 + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
-                 + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz))
-        q = jnp.where(upd, neigh * rd + c2, q)
+        q = rd * (_zshift(q, 1, 0, nrows) + _zshift(q, -1, 0, nrows)
+                  + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
+                  + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz)) + c2e
     return q
 
 
@@ -121,14 +124,14 @@ def _whole_grid_kernel(q_ref, rd_ref, c2_ref, out_ref, *, iters, shape):
     gx, gy, gz = shape
     q = q_ref[...]
     rd = rd_ref[...]
-    c2 = c2_ref[...]
-    upd = rd > 0.0
+    # select-free form, see _sweeps: non-updating cells (rd == 0) are held
+    # by the folded constant, no per-sweep where
+    c2e = jnp.where(rd > 0.0, c2_ref[...], q)
 
     def body(_, q):
-        neigh = (_zshift(q, 1, 0, gx) + _zshift(q, -1, 0, gx)
-                 + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
-                 + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz))
-        return jnp.where(upd, neigh * rd + c2, q)
+        return rd * (_zshift(q, 1, 0, gx) + _zshift(q, -1, 0, gx)
+                     + _zshift(q, 1, 1, gy) + _zshift(q, -1, 1, gy)
+                     + _zshift(q, 1, 2, gz) + _zshift(q, -1, 2, gz)) + c2e
 
     out_ref[...] = jax.lax.fori_loop(0, iters, body, q)
 
