@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's demo-video counterpart); "
                         "requires --frame-every")
     p.add_argument("--video-fps", type=int, default=25)
+    p.add_argument("--camera-scale", type=float, default=1.0,
+                   help="scale the default camera distance (1.0 = the "
+                        "reference's close-up pose, main.cpp:128; >1 pulls "
+                        "back and aims at the scene center — useful for "
+                        "large grids)")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="start the live HTTP viewer on PORT: MJPEG stream "
                         "+ browser key controls (q/e pause/resume, r/f "
@@ -192,6 +197,13 @@ def main(argv=None) -> int:
               flush=True)
     sim.render_surface = not args.no_surface
     sim.render_particles = not args.no_particles
+    if args.camera_scale != 1.0:
+        import numpy as np
+        center = tuple(g / 2.0 for g in sim.cfg.grid_size)
+        pos = tuple(np.asarray(sim.camera.position) * args.camera_scale)
+        sim.camera = sim.camera.move(
+            tuple(np.asarray(pos) - np.asarray(sim.camera.position))
+        ).look_at_point(center)
 
     if args.solid_npy or args.force_npy:
         import jax.numpy as jnp
