@@ -7,7 +7,6 @@ MAC velocities; component c of cell i lives on the lower face of i in dim c.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpu_fluid.core.config import FluidConfig
