@@ -115,6 +115,37 @@ def test_jacobi_whole_grid_matches_slab_interpret():
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(slab))
 
 
+def test_paired_table_matches_64lane():
+    """The z-halves-paired 128-lane table + row indices must reproduce the
+    64-lane table row-for-row, and the paired sample kernel must move
+    particles bitwise-identically."""
+    from tpu_fluid.kernels.pack_table import (build_packed_table_pallas,
+                                              build_packed_table_pallas2)
+    from tpu_fluid.kernels.particle_sample import sample_and_move
+    from tpu_fluid.ops.packed_sampler import (packed_row_indices,
+                                              packed_row_indices2)
+    r = np.random.default_rng(11)
+    vel = jnp.asarray(r.standard_normal((3, N, N, N)).astype(np.float32))
+    t64 = build_packed_table_pallas(vel, interpret=True)
+    t128 = build_packed_table_pallas2(vel, interpret=True)
+    hz = N // 2
+    pos = jnp.asarray((r.random((2048, 3)) * (N + 2) - 1).astype(np.float32))
+    act = jnp.asarray(r.random(2048) < 0.9)
+    i64 = packed_row_indices(pos, (N, N, N))
+    i128 = packed_row_indices2(pos, (N, N, N))
+    r64 = jnp.take(t64, i64, axis=0, mode="clip")
+    r128 = jnp.take(t128, i128, axis=0, mode="clip")
+    # the row halves are the 64-lane rows of the two paired cells
+    j = np.clip(np.floor(np.asarray(pos)).astype(np.int64), 0, N - 1)
+    hi = j[:, 2] >= hz
+    half = np.where(hi[:, None], np.asarray(r128)[:, 64:],
+                    np.asarray(r128)[:, :64])
+    np.testing.assert_array_equal(half, np.asarray(r64))
+    a = sample_and_move(r64, pos.T, act, (N, N, N), 0.25, interpret=True)
+    b = sample_and_move(r128, pos.T, act, (N, N, N), 0.25, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_advect_one_matches_all_and_shift():
     """advect_one_pallas (per-component, direct vel halos + in-register
     face-center velocity — the big-plane path) must match advect_all_pallas

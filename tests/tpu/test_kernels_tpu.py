@@ -197,3 +197,29 @@ def test_pallas_grid_fused_matches_stages():
         types, p, vel)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(ref_pv),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_paired_table_matches_64lane_on_tpu():
+    """z-halves-paired 128-lane table on real silicon (the Mosaic lane
+    concat only compiles for wide halves, hence the thin gz=128 grid):
+    rows and the fused sample kernel must match the 64-lane path bitwise."""
+    from tpu_fluid.kernels.pack_table import (build_packed_table_pallas,
+                                              build_packed_table_pallas2)
+    from tpu_fluid.kernels.particle_sample import sample_and_move
+    from tpu_fluid.ops.packed_sampler import (packed_row_indices,
+                                              packed_row_indices2)
+    gs = (8, 16, 128)
+    key = jax.random.PRNGKey(5)
+    vel = jax.random.normal(key, (3,) + gs, dtype=jnp.float32)
+    pos = jax.random.uniform(key, (4096, 3), minval=-1.0,
+                             maxval=float(max(gs)) + 1.0)
+    act = jax.random.uniform(key, (4096,)) < 0.9
+    t64 = jax.jit(build_packed_table_pallas)(vel)
+    t128 = jax.jit(build_packed_table_pallas2)(vel)
+    r64 = jnp.take(t64, packed_row_indices(pos, gs), axis=0, mode="clip")
+    r128 = jnp.take(t128, packed_row_indices2(pos, gs), axis=0, mode="clip")
+    a = jax.jit(lambda r, p, m: sample_and_move(r, p, m, gs, 0.25))(
+        r64, pos.T, act)
+    b = jax.jit(lambda r, p, m: sample_and_move(r, p, m, gs, 0.25))(
+        r128, pos.T, act)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -165,7 +165,8 @@ class FluidConfig:
     # as Pallas kernels instead of the jnp stages.  Default OFF: measured
     # slightly slower single-chip (46.6 vs 47.9 steps/s at the 128^3 bench —
     # XLA already consumer-fuses those stages nearly for free, and the
-    # kernels add x-pad copies).  Kept for the explicit-SPMD step, where one
+    # kernels add x-pad copies; at 256^3 it is a wash the other way,
+    # 8.16 vs 8.07 steps/s).  Kept for the explicit-SPMD step, where one
     # fused halo exchange per group replaces per-stage exchanges.
     grid_fused: bool = False
     # Particle placement on the SPMD (multi-chip) path:

@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_fluid.ops.packed_sampler import LANES, _OTHER, _lane
 
 
-def _pack_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
+def _pack_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape,
+                 pair_z: bool = False):
     gx, gy, gz = shape
     # assemble (3, 3, Y, Z): x rows {-1, 0, +1} around this slab (tx == 1)
     a = jnp.concatenate([prev_ref[:, -1:], cur_ref[...], next_ref[:, :1]],
@@ -52,7 +53,17 @@ def _pack_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
     stacked = jnp.stack([lane_vals.get(ln, zero) for ln in range(LANES)],
                         axis=0)                     # (64, Y, Z)
     # exact data-movement transpose in VMEM (not an MXU matmul -> no bf16)
-    out_ref[0] = jnp.transpose(stacked, (1, 2, 0))  # (Y, Z, 64)
+    t = jnp.transpose(stacked, (1, 2, 0))           # (Y, Z, 64)
+    if pair_z:
+        # 2 cells per 128-lane row, paired across z-HALVES (contiguous
+        # sublane slices + one lane concat — the (Z,64)->(Z/2,128) lane-
+        # merge reshape is rejected by Mosaic): lanes [0:64] = cell
+        # (x, y, zl), [64:128] = (x, y, zl + Z/2).  Full-width rows write
+        # full (8,128) tiles and measured 1.49 vs 1.77 ms at 128^3.
+        h = gz // 2
+        out_ref[0] = jnp.concatenate([t[:, :h, :], t[:, h:, :]], axis=-1)
+    else:
+        out_ref[0] = t
 
 
 def build_packed_table_pallas(vel: jnp.ndarray,
@@ -79,3 +90,32 @@ def build_packed_table_pallas(vel: jnp.ndarray,
     )(vx, vx, vx)
     # row-major (X, Y, Z, 64) -> (X*Y*Z, 64) is a free reshape
     return out.reshape(gx * gy * gz, LANES)
+
+
+def build_packed_table_pallas2(vel: jnp.ndarray,
+                               interpret: bool = False) -> jnp.ndarray:
+    """vel (3, X, Y, Z) -> z-halves-paired table (X*Y*(Z/2), 128): row
+    r = x*(Y*Z/2) + y*(Z/2) + zl holds cell (x, y, zl) in lanes [0:64] and
+    cell (x, y, zl + Z/2) in lanes [64:128] (ops/packed_sampler.
+    packed_row_indices2).  Requires even Z."""
+    _, gx, gy, gz = vel.shape
+    assert gz % 2 == 0
+    vx = jnp.pad(vel, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    kern = functools.partial(_pack_kernel, shape=(gx, gy, gz), pair_z=True)
+    slab = lambda off: pl.BlockSpec(            # noqa: E731
+        (3, 1, gy, gz), lambda i, o=off: (0, i + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(gx,),
+        in_specs=[slab(0), slab(1), slab(2)],
+        out_specs=pl.BlockSpec((1, gy, gz // 2, 2 * LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, gz // 2, 2 * LANES),
+                                       vel.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(vx, vx, vx)
+    return out.reshape(gx * gy * (gz // 2), 2 * LANES)

@@ -25,14 +25,21 @@ from tpu_fluid.ops.packed_sampler import _OTHER, _lane
 
 
 def _sample_update_kernel(rows_ref, pos_ref, act_ref, out_ref, *,
-                          grid_size, dt):
+                          grid_size, dt, paired: bool = False):
     pos = pos_ref[...]                        # (3, PB)
     # Mosaic's VMEM value transpose is a bitwise-exact data-movement op
     # (verified by test; only MXU matmuls round f32 to bf16), so the rows
     # arrive in natural gather layout and flip to lane-major here instead of
     # paying a 512 MB XLA transpose.
-    rows = rows_ref[...].T                    # (64, PB)
+    rows = rows_ref[...].T                    # (64 or 128, PB)
     shape = grid_size
+    if paired:
+        # z-halves-paired 128-lane rows (pack_table.build_packed_table_
+        # pallas2): pick the particle's half by the SAME clipped z the row
+        # index used (ops/packed_sampler.packed_row_indices2)
+        hz = shape[2] / 2.0
+        hi = jnp.clip(jnp.floor(pos[2]), 0.0, shape[2] - 1.0) >= hz
+        rows = jnp.where(hi, rows[64:], rows[:64])
 
     jf = [jnp.clip(jnp.floor(pos[d]), 0.0, shape[d] - 1.0) for d in range(3)]
 
@@ -70,10 +77,12 @@ def _sample_update_kernel(rows_ref, pos_ref, act_ref, out_ref, *,
 def sample_and_move(rows: jnp.ndarray, pos_t: jnp.ndarray,
                     active: jnp.ndarray, grid_size, dt: float,
                     pb: int = 8192, interpret: bool = False) -> jnp.ndarray:
-    """rows: (P, 64) gathered packed rows (natural gather layout; the flip
-    to lane-major happens in VMEM); pos_t: (3, P); active: (P,).
+    """rows: (P, 64) gathered packed rows — or (P, 128) z-halves-paired
+    rows (detected by width) — in natural gather layout; the flip to
+    lane-major happens in VMEM.  pos_t: (3, P); active: (P,).
     Returns new positions (3, P)."""
     p = pos_t.shape[1]
+    lanes = rows.shape[1]
     # Non-dividing grids are fine: Mosaic pads the last block's loads with
     # unspecified values and masks its out-of-range stores, which our
     # pointwise kernel tolerates.  NO padding of any operand — padding the
@@ -83,12 +92,12 @@ def sample_and_move(rows: jnp.ndarray, pos_t: jnp.ndarray,
     grid = (-(-p // pb),)
     kernel = functools.partial(_sample_update_kernel,
                                grid_size=tuple(float(g) for g in grid_size),
-                               dt=dt)
+                               dt=dt, paired=(lanes == 128))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pb, 64), lambda i: (i, 0),
+            pl.BlockSpec((pb, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

@@ -97,6 +97,18 @@ def packed_row_indices(pos: jnp.ndarray, grid_size) -> jnp.ndarray:
     return j[:, 0] * (gy * gz) + j[:, 1] * gz + j[:, 2]
 
 
+def packed_row_indices2(pos: jnp.ndarray, grid_size) -> jnp.ndarray:
+    """Row index into the z-halves-paired 128-lane table
+    (kernels/pack_table.build_packed_table_pallas2); the in-row half is
+    recomputed in the sample kernel from the same clipped z."""
+    gx, gy, gz = grid_size
+    hz = gz // 2
+    j = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                 jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
+    zl = jnp.where(j[:, 2] >= hz, j[:, 2] - hz, j[:, 2])
+    return j[:, 0] * (gy * hz) + j[:, 1] * hz + zl
+
+
 def sample_velocity_packed(table: jnp.ndarray, grid_size,
                            pos: jnp.ndarray) -> jnp.ndarray:
     """Sample the staggered velocity at positions pos (P, 3) from a packed

@@ -95,18 +95,30 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
         use_pallas, interpret = pallas_choice(cfg)
         if use_pallas:
             # build the table and fuse weights + Euler update in Pallas;
-            # the row gather itself stays an XLA gather
-            from tpu_fluid.kernels.pack_table import build_packed_table_pallas
+            # the row gather itself stays an XLA gather.  Even-Z grids use
+            # the z-halves-paired 128-lane table (half the rows, full-tile
+            # writes: 1.49 vs 1.77 ms table build at 128^3; gather time
+            # identical), with the half-select fused into the sample
+            # kernel.
+            from tpu_fluid.kernels.pack_table import (
+                build_packed_table_pallas, build_packed_table_pallas2)
             from tpu_fluid.kernels.particle_sample import sample_and_move
-            table = build_packed_table_pallas(vel, interpret=interpret)
+            from tpu_fluid.ops.packed_sampler import packed_row_indices2
+            # paired path gated to gz >= 128: Mosaic rejects the z-halves
+            # lane concat on narrow halves ("result/input offset mismatch
+            # on non-concat dimension" at gz=16)
+            if cfg.grid_size[2] % 2 == 0 and cfg.grid_size[2] >= 128:
+                table = build_packed_table_pallas2(vel, interpret=interpret)
+                idx = packed_row_indices2(positions, cfg.grid_size)
+            else:
+                table = build_packed_table_pallas(vel, interpret=interpret)
+                idx = packed_row_indices(positions, cfg.grid_size)
             # mode="clip": packed_row_indices is in-bounds by construction;
             # the default fill mode adds a 1.5 ms select over the (P, 64)
             # gather output (measured in the 128^3 trace; clip itself is
             # free).  Indices stay UNPADDED: a pad fused into the gather
             # knocks it off its fast path (7.9 -> 13.5 ms measured).
-            rows = jnp.take(table, packed_row_indices(positions,
-                                                      cfg.grid_size),
-                            axis=0, mode="clip")
+            rows = jnp.take(table, idx, axis=0, mode="clip")
             new_t = sample_and_move(rows, positions.T, active,
                                     cfg.grid_size, cfg.dt,
                                     interpret=interpret)
