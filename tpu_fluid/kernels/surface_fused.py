@@ -49,8 +49,8 @@ def _neighbor_sum(a, nrows, gy, gz):
 def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
                     f2_c, f2_l, f2_r, sk_c, sk_l, sk_r,
                     inertia_out, f1_out, f2_out, *,
-                    h, tx, shape, y0, ggy, steps, k, inc_filled, inc_neigh,
-                    required_hits, dec, max_inertia, div_coef):
+                    h, hw, tx, shape, y0, ggy, steps, k, inc_filled,
+                    inc_neigh, required_hits, dec, max_inertia, div_coef):
     # `shape` is the GLOBAL detailed grid; x0_ref holds this shard's global
     # detailed-x offset (0 single-device) so the out-of-domain zero rule
     # applies at the true domain ends, not at shard boundaries.  y0/ggy
@@ -58,17 +58,21 @@ def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
     # rows outside [0, ggy) are forced to the robust zero after every stage
     # so a chunk rim at the true domain edge can't evolve to -1 and leak
     # into the kept rows' blur (see surface_fused_auto).
+    # hw >= h is the ACTUAL halo width of the l/r inputs (rounded up to a
+    # divisor of tx on the direct-read path); the extra rings are wasted
+    # compute, the kept central rows stay exact.
     gx, gy, gz = shape
     x0 = x0_ref[0]
     i = pl.program_id(0)
     # assembled rows, padded with dummy zero rows to a sublane multiple of 8
     # (Mosaic rejects some mask relayouts on unaligned 3D shapes); the dummy
     # rows sit beyond the halo and never reach the tx output rows
-    nrows = -(-(tx + 2 * h) // 8) * 8
-    dummy = nrows - (tx + 2 * h)
+    nrows = -(-(tx + 2 * hw) // 8) * 8
+    dummy = nrows - (tx + 2 * hw)
 
     def asm(l, cur, r):
-        parts = [l[0], cur[...], r[0]]
+        parts = [l[0] if l.ndim == 4 else l[...], cur[...],
+                 r[0] if r.ndim == 4 else r[...]]
         if dummy:
             parts.append(jnp.zeros((dummy, gy, gz), dtype=cur.dtype))
         return jnp.concatenate(parts, axis=0)
@@ -78,14 +82,22 @@ def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
     f2_old = asm(f2_l, f2_c, f2_r)
     skip = asm(sk_l, sk_c, sk_r) != 0
 
-    # global-x in-domain mask: the pad rows of the first/last block lie
+    # global-x in-domain mask: the halo rows of the first/last block lie
     # outside the domain; every field OOB must read as the GLSL robust zero
-    gxrow = (x0 + i * tx - h
+    gxrow = (x0 + i * tx - hw
              + jax.lax.broadcasted_iota(jnp.int32, (nrows, 1, 1), 0))
     in_dom = (gxrow >= 0) & (gxrow < gx)
     if y0 != 0 or ggy != gy:
         gyrow = y0 + jax.lax.broadcasted_iota(jnp.int32, (1, gy, 1), 1)
         in_dom = in_dom & (gyrow >= 0) & (gyrow < ggy)
+    # Mask the INPUT halo rows by in_dom: on the direct-read path the
+    # domain-end programs fetch a clamped (in-domain but misplaced) block,
+    # and its values must read as the robust zero.  On the materialized
+    # path those rows are already zero, so this is bitwise-neutral there.
+    occ = jnp.where(in_dom, occ, 0)
+    inertia = inertia * in_dom.astype(jnp.int32)
+    f2_old = jnp.where(in_dom, f2_old, 0.0)
+    skip = skip & in_dom
 
     # stage 16: inertia update (densities_inertia.comp:30-62).  Selects are
     # arithmetic (0/1 indicator * branch difference) rather than
@@ -123,9 +135,9 @@ def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
         else:
             a = res
 
-    inertia_out[...] = inertia[h:h + tx]
-    f1_out[...] = a[h:h + tx]
-    f2_out[...] = b[h:h + tx]
+    inertia_out[...] = inertia[hw:hw + tx]
+    f1_out[...] = a[hw:hw + tx]
+    f2_out[...] = b[hw:hw + tx]
 
 
 MAX_PLANE = 98304   # gy*gz above which the slab working set exceeds VMEM
@@ -174,38 +186,69 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
 
     halos = halos or (None,) * 4
     skip = skip.astype(jnp.uint8)
-    fields = []
-    for a, halo in zip((occ, inertia, f2, skip), halos):
-        hl, hr = _halo_blocks(a, nb, tx, h, halo)
-        fields += [a, hl, hr]
     x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
         jnp.asarray(x0, jnp.int32).reshape(1)
-
-    kern = functools.partial(
-        _surface_kernel, h=h, tx=tx, shape=(global_gx or gx, gy, gz),
-        y0=y0, ggy=global_gy if global_gy is not None else gy,
-        steps=steps,
-        k=float(k), inc_filled=int(inc_filled), inc_neigh=int(inc_neigh),
-        required_hits=int(required_hits), dec=int(dec),
-        max_inertia=int(max_inertia), div_coef=float(div_coef))
-    cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
-    halo_spec = pl.BlockSpec((1, h, gy, gz), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kern,
+    cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    common = dict(
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [cur, halo_spec, halo_spec] * 4,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), jnp.int32),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
+        interpret=interpret)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kern_of(hw):
+        return functools.partial(
+            _surface_kernel, h=h, hw=hw, tx=tx,
+            shape=(global_gx or gx, gy, gz),
+            y0=y0, ggy=global_gy if global_gy is not None else gy,
+            steps=steps,
+            k=float(k), inc_filled=int(inc_filled),
+            inc_neigh=int(inc_neigh),
+            required_hits=int(required_hits), dec=int(dec),
+            max_inertia=int(max_inertia), div_coef=float(div_coef))
+
+    # direct path (single-device): halo blocks read straight out of the
+    # fields via hw-row-unit clamped index maps — no halo materialization.
+    # hw = h rounded up to a divisor of tx; domain-end garbage is zeroed by
+    # the in_dom input mask inside the kernel.
+    hw = next((d for d in range(h, tx + 1) if tx % d == 0 and gx % d == 0),
+              None)
+    if all(halo is None for halo in halos) and hw is not None:
+        r0 = tx // hw
+        last = gx // hw - 1
+        lspec = pl.BlockSpec(
+            (hw, gy, gz), lambda i: (jnp.maximum(i * r0 - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM)
+        rspec = pl.BlockSpec(
+            (hw, gy, gz),
+            lambda i: (jnp.minimum((i + 1) * r0, last), 0, 0),
+            memory_space=pltpu.VMEM)
+        fields = []
+        for a in (occ, inertia, f2, skip):
+            fields += [a, a, a]
+        return pl.pallas_call(
+            kern_of(hw),
+            in_specs=[smem] + [cur, lspec, rspec] * 4,
+            **common,
+        )(x0a, *fields)
+
+    fields = []
+    for a, halo in zip((occ, inertia, f2, skip), halos):
+        hl, hr = _halo_blocks(a, nb, tx, h, halo)
+        fields += [a, hl, hr]
+    halo_spec = pl.BlockSpec((1, h, gy, gz), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern_of(h),
+        in_specs=[smem] + [cur, halo_spec, halo_spec] * 4,
+        **common,
     )(x0a, *fields)
 
 
