@@ -278,4 +278,8 @@ class FluidConfig:
             particle_init_cube_size=(10.0 * s, 10.0 * s, 2.0 * s),
             surface_render_resolution=surface_render_resolution,
             jacobi_iters=jacobi_iters,
+            # fused grid-stage kernels win once XLA's consumer fusion has
+            # big planes to re-materialize (measured 8.94 vs 8.86 steps/s
+            # at 256^3 twice; a slight loss at 128^3 where it stays off)
+            grid_fused=(n >= 256),
         )
