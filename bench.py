@@ -31,6 +31,7 @@ import time
 
 def _run_once(n: int, particles: int, steps: int, sync_every: int):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from tpu_fluid.utils.cache import enable_compilation_cache
@@ -45,11 +46,19 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
     ndev = len(jax.devices())
     if ndev > 1:
         # explicit SPMD path: shard_map + ppermute halos, Pallas kernels on
-        # local blocks — the multi-chip fast path (parallel/spmd_step.py)
-        from tpu_fluid.parallel.mesh import make_mesh, shard_state
+        # local blocks — the multi-chip fast path (parallel/spmd_step.py).
+        # Particles are DOMAIN-sharded (parallel/particles_domain.py): the
+        # occupancy scatter and velocity sampling stay slab-local, so the
+        # per-step particle communication is two migration buffers instead
+        # of an all_gather of the whole velocity field (3*X*Y*Z*4 B —
+        # 200 MB/shard/step at 256^3); tests/test_particles_domain.py pins
+        # the compiled HLO all-gather-free.
+        from tpu_fluid.parallel.mesh import make_mesh
+        from tpu_fluid.parallel.particles_domain import domain_shard_state
         from tpu_fluid.parallel.spmd_step import spmd_step
         mesh = make_mesh()
-        state = shard_state(initial_state(cfg), mesh)
+        cfg = cfg.replace(particle_sharding="domain")
+        state = domain_shard_state(initial_state(cfg), mesh, cfg)
         step = spmd_step(mesh, cfg, donate=False)
 
         def run(s):
@@ -86,7 +95,9 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
             now = time.time()
             chunk_sps.append(pending_k / (now - tc))
             tc = now
-        pending, pending_k = state.step, k
+        # COPY the token: if run() is ever switched to a donating jit, a
+        # bare reference would be deleted when the next chunk dispatches
+        pending, pending_k = jnp.copy(state.step), k
         done += k
     np.asarray(jax.device_get(pending))
     now = time.time()

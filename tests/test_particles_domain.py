@@ -71,6 +71,7 @@ def test_domain_matches_single_device(mode):
     b = _sorted_active_positions(sharded.positions, sharded.active)
     assert a.shape == b.shape            # no particles dropped
     np.testing.assert_array_equal(a, b)
+    assert int(jax.device_get(sharded.dropped)) == 0   # counter agrees
 
 
 def test_domain_with_volume_projection_matches():
@@ -130,15 +131,17 @@ def test_migrate_exchanges_boundary_crossers():
 
     def local(p, a):
         x0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * lx
-        return migrate(p, a, x0, lx, m)
+        p, a, nd = migrate(p, a, x0, lx, m)
+        return p, a, jax.lax.psum(nd, AXIS)
 
     fn = jax.jit(jax.shard_map(local, mesh=mesh,
                                in_specs=(P(AXIS), P(AXIS)),
-                               out_specs=(P(AXIS), P(AXIS))))
-    new_pos, new_act = fn(jnp.asarray(pos), jnp.asarray(act))
+                               out_specs=(P(AXIS), P(AXIS), P())))
+    new_pos, new_act, ndrop = fn(jnp.asarray(pos), jnp.asarray(act))
     new_pos = np.asarray(jax.device_get(new_pos))
     new_act = np.asarray(jax.device_get(new_act))
     assert new_act.sum() == act.sum()                # nothing lost
+    assert int(jax.device_get(ndrop)) == 0
     for i in range(4):
         seg_pos = new_pos[i * slots:(i + 1) * slots]
         seg_act = new_act[i * slots:(i + 1) * slots]
@@ -154,16 +157,15 @@ def test_migrate_exchanges_boundary_crossers():
 
 def test_domain_shard_state_packs_by_slab():
     from tpu_fluid.parallel.mesh import make_mesh
-    from tpu_fluid.parallel.particles_domain import (domain_shard_state,
-                                                     domain_slots)
+    from tpu_fluid.parallel.particles_domain import domain_shard_state
 
     cfg = _cfg()
     mesh = make_mesh(8)
     st = domain_shard_state(initial_state(cfg), mesh, cfg)
-    slots = domain_slots(cfg, 8)
     pos = np.asarray(jax.device_get(st.positions))
     act = np.asarray(jax.device_get(st.active))
-    assert pos.shape == (8 * slots, 3)
+    assert pos.shape[0] % 8 == 0
+    slots = pos.shape[0] // 8
     assert act.sum() == 4096                         # all packed, none lost
     lx = 32 // 8
     for i in range(8):
@@ -171,3 +173,127 @@ def test_domain_shard_state_packs_by_slab():
         if len(seg):
             xs = np.floor(seg[:, 0]).astype(int)
             assert ((xs >= i * lx) & (xs < (i + 1) * lx)).all()
+
+
+def test_domain_shard_state_census_sizing_uneven_scene():
+    """VERDICT r3 weak #2: slots must be sized from the ACTUAL initial slab
+    census, not the global mean.  This scene packs every particle into ONE
+    of 8 slabs — the old particle_count/n * slack formula (1024 slots here)
+    would silently drop 3072 of 4096 particles at init."""
+    from tpu_fluid.parallel.mesh import make_mesh
+    from tpu_fluid.parallel.particles_domain import (domain_shard_state,
+                                                     domain_slots)
+
+    cfg = _cfg(particle_init_cube_offset=(4.1, 2.0, 2.0),
+               particle_init_cube_size=(3.8, 9.0, 5.0))   # x in slab 1 only
+    mesh = make_mesh(8)
+    st = domain_shard_state(initial_state(cfg), mesh, cfg)
+    act = np.asarray(jax.device_get(st.active))
+    assert act.sum() == 4096                         # zero drops
+    # the census-aware sizing grew the slots well past the mean-based floor
+    assert st.positions.shape[0] // 8 >= 4096
+    assert domain_slots(cfg, 8) < 4096               # the old floor
+
+
+def test_domain_shard_state_flagship_scene_zero_drops():
+    """The flagship scaled_scene(128) sits exactly at the old formula's
+    capacity cliff (the cube spans half the x extent: 250k particles/slab
+    against 250k mean-sized slots).  Census sizing must shard it drop-free
+    on the 8-way mesh."""
+    from tpu_fluid.parallel.mesh import make_mesh
+    from tpu_fluid.parallel.particles_domain import domain_shard_state
+
+    cfg = FluidConfig.scaled_scene(128, particle_count=1_000_000,
+                                   jacobi_iters=1)
+    cfg = cfg.replace(particle_sharding="domain")
+    mesh = make_mesh(8)
+    st = domain_shard_state(initial_state(cfg), mesh, cfg)
+    act = np.asarray(jax.device_get(st.active))
+    assert act.sum() == 1_000_000                    # zero drops
+
+
+def _migrate_once(mesh, pos, act, lx, m):
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_fluid.parallel.mesh import AXIS
+    from tpu_fluid.parallel.particles_domain import migrate
+
+    def local(p, a):
+        x0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * lx
+        p, a, nd = migrate(p, a, x0, lx, m)
+        return p, a, jax.lax.psum(nd, AXIS)
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(P(AXIS), P(AXIS)),
+                               out_specs=(P(AXIS), P(AXIS), P())),
+                 static_argnums=())
+    new_pos, new_act, nd = fn(jnp.asarray(pos), jnp.asarray(act))
+    return (np.asarray(jax.device_get(new_pos)),
+            np.asarray(jax.device_get(new_act)),
+            int(jax.device_get(nd)))
+
+
+def test_migrate_buffer_overflow_counts_drops():
+    """Bounded-loss contract, send side: crossers beyond the m-per-direction
+    buffer are deactivated AND counted in the returned drop balance."""
+    from tpu_fluid.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    lx, slots, m = 8, 128, 4
+    pos = np.zeros((4 * slots, 3), np.float32)
+    act = np.zeros((4 * slots,), bool)
+    for j in range(m + 2):                     # 6 right-crossers, buffer 4
+        pos[j] = (8.5, 1.0, float(j))
+        act[j] = True
+    new_pos, new_act, nd = _migrate_once(mesh, pos, act, lx, m)
+    assert nd == 2                             # 2 beyond the buffer
+    assert new_act.sum() == act.sum() - 2
+    # the m that fit arrived on shard 1
+    seg = new_pos[slots:2 * slots][new_act[slots:2 * slots]]
+    assert len(seg) == m
+    assert (np.floor(seg[:, 0]) == 8).all()
+
+
+def test_migrate_slot_exhaustion_counts_drops():
+    """Bounded-loss contract, receive side: arrivals beyond the destination
+    shard's free slots are dropped and counted."""
+    from tpu_fluid.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    lx, slots, m = 8, 8, 4
+    pos = np.zeros((4 * slots, 3), np.float32)
+    act = np.zeros((4 * slots,), bool)
+    pos[0] = (8.5, 1.0, 0.0)                   # shard 0: 2 right-crossers
+    pos[1] = (8.5, 1.0, 1.0)
+    act[0] = act[1] = True
+    # shard 1: every slot active, none leaving -> zero free slots
+    for j in range(slots):
+        pos[slots + j] = (12.0, 1.0, float(j))
+        act[slots + j] = True
+    new_pos, new_act, nd = _migrate_once(mesh, pos, act, lx, m)
+    assert nd == 2                             # both arrivals had no slot
+    assert new_act.sum() == act.sum() - 2
+    assert new_act[slots:2 * slots].all()      # shard 1 undisturbed
+
+
+def test_migrate_multi_slab_crosser_one_hop_per_step():
+    """A CFL-violating particle 2 slabs away migrates one hop per exchange
+    and arrives (undropped) after two exchanges — the documented contract
+    (particles_domain.py module docstring)."""
+    from tpu_fluid.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    lx, slots, m = 8, 128, 8
+    pos = np.zeros((4 * slots, 3), np.float32)
+    act = np.zeros((4 * slots,), bool)
+    pos[0] = (20.5, 1.0, 7.0)                  # owned by shard 2, lives on 0
+    act[0] = True
+    pos1, act1, nd1 = _migrate_once(mesh, pos, act, lx, m)
+    assert nd1 == 0 and act1.sum() == 1
+    assert act1[slots:2 * slots].sum() == 1    # hop 1: shard 1
+    pos2, act2, nd2 = _migrate_once(mesh, pos1, act1, lx, m)
+    assert nd2 == 0 and act2.sum() == 1
+    assert act2[2 * slots:3 * slots].sum() == 1   # hop 2: home
+    seg = pos2[2 * slots:3 * slots][act2[2 * slots:3 * slots]]
+    np.testing.assert_array_equal(seg[0], np.array([20.5, 1.0, 7.0],
+                                                   np.float32))

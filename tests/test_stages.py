@@ -73,6 +73,26 @@ def test_histogram_detailed_scale():
     assert_close(got, want)
 
 
+def test_occupancy_heavy_duplication():
+    """ADVICE r3: the occupancy scatter uses unique_indices=True on
+    intentionally DUPLICATE indices (safe only because every duplicate
+    writes the constant 1).  Pin that contract under heavy duplication so a
+    backend-semantics change mis-rendering occupancy is caught: thousands of
+    particles in one detailed cell must still read exactly 1 there and the
+    untouched cells exactly 0."""
+    r = rng(7)
+    heavy = np.full((5000, 3), 3.25, np.float32)       # all one cell
+    spread = (r.random((200, 3)) * N).astype(np.float32)
+    pos = np.concatenate([heavy, spread])
+    act = np.ones(len(pos), dtype=bool)
+    occ = np.asarray(particles.detailed_occupancy(
+        jnp.asarray(pos), jnp.asarray(act), CFG))
+    want = (oracle.histogram(pos, act, CFG.detailed_size,
+                             scale=CFG.surface_render_resolution) > 0)
+    np.testing.assert_array_equal(occ.astype(bool), want)
+    assert set(np.unique(occ)) <= {0, 1}
+
+
 def test_histogram_deterministic():
     r = rng(3)
     pos = (r.random((1000, 3)) * N).astype(np.float32)

@@ -223,3 +223,25 @@ def test_paired_table_matches_64lane_on_tpu():
     b = jax.jit(lambda r, p, m: sample_and_move(r, p, m, gs, 0.25))(
         r128, pos.T, act)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_occupancy_duplicate_scatter_on_tpu():
+    """ADVICE r3: unique_indices=True on duplicate indices is only safe
+    while every duplicate writes the same constant — pin the real TPU
+    scatter emitter's behavior under heavy duplication (5000 particles in
+    one cell must read exactly 1; untouched cells 0)."""
+    from tpu_fluid.stages import particles
+    cfg = FluidConfig(grid_size=(16, 16, 16), particle_count=5200,
+                      surface_render_resolution=2)
+    key = jax.random.PRNGKey(9)
+    heavy = jnp.full((5000, 3), 3.25, jnp.float32)
+    spread = jax.random.uniform(key, (200, 3), minval=0.0, maxval=16.0)
+    pos = jnp.concatenate([heavy, spread])
+    act = jnp.ones((5200,), bool)
+    occ = np.asarray(jax.jit(
+        lambda p, a: particles.detailed_occupancy(p, a, cfg))(pos, act))
+    # exact-count histogram (at[].add) is the independent reference
+    want = np.asarray(jax.jit(
+        lambda p, a: particles.detailed_densities(p, a, cfg))(pos, act))
+    np.testing.assert_array_equal(occ.astype(bool), want > 0)
+    assert occ[6, 6, 6] == 1 and set(np.unique(occ)) <= {0, 1}

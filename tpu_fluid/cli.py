@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "surface, p particles, a/d orbit, w/s dolly) — the "
                         "reference's interactive window, headless; requires "
                         "--frame-every")
+    p.add_argument("--serve-host", type=str, default="127.0.0.1",
+                   help="live-viewer bind address; the default stays on "
+                        "loopback because /key and /stream are "
+                        "unauthenticated — pass 0.0.0.0 to expose on the "
+                        "network deliberately")
     p.add_argument("--orbit-deg", type=float, default=0.0,
                    help="orbit the camera this many degrees around the "
                         "scene center between rendered frames")
@@ -235,6 +240,7 @@ def main(argv=None) -> int:
             orbit_deg_per_frame=args.orbit_deg,
             render_method=args.render_method,
             serve_port=args.serve,
+            serve_host=args.serve_host,
             mesh_every=args.mesh_every)
     import numpy as np
     np.asarray(sim.state.positions[:1])    # force completion BEFORE timing

@@ -55,6 +55,13 @@ class FluidState(NamedTuple):
     #                          frame's post-move) and stage-15 histograms;
     #                          the pipeline only ever consumes density > 0.
     step: jax.Array          # ()     int32
+    dropped: jax.Array       # ()     int32 — cumulative particles lost to
+    #                          bounded-capacity overflow on the domain-
+    #                          sharded particle path (migration buffers /
+    #                          slot exhaustion, parallel/particles_domain).
+    #                          Always 0 on the single-device and index-
+    #                          sharded paths; the reference's analogue is
+    #                          particles silently escaping the box.
 
 
 def init_particles(cfg: FluidConfig) -> tuple[jax.Array, jax.Array]:
@@ -128,6 +135,7 @@ def _initial_state(cfg: FluidConfig) -> FluidState:
         active=active,
         detailed_occ=detailed_occupancy(pos, active, cfg),
         step=jnp.zeros((), dtype=jnp.int32),
+        dropped=jnp.zeros((), dtype=jnp.int32),
     )
 
 

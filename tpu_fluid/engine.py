@@ -84,9 +84,13 @@ class Simulation:
             for _ in range(k):
                 self.state = jit_step(self.state, self.cfg, self.scene)
             done += k
-            if done < n:                 # interior chunk boundary: pipeline
-                self._pending.append(jnp.copy(self.state.step))
-                self._drain(self.max_pending)
+            # EVERY chunk (including the final one) appends a token: the
+            # next step() call starts dispatching immediately, so a token
+            # only at interior boundaries would let the un-synced depth
+            # transiently reach ~3 chunks across consecutive calls —
+            # past the ~10-dispatch hang threshold this bound exists for.
+            self._pending.append(jnp.copy(self.state.step))
+            self._drain(self.max_pending)
         return self
 
     def _drain(self, limit: int = 0) -> None:
@@ -180,7 +184,8 @@ class Simulation:
             save_frames: bool = True,
             render_method: str = "splat",
             mesh_every: int = 0, mesh_dir: Optional[str] = None,
-            serve_port: Optional[int] = None):
+            serve_port: Optional[int] = None,
+            serve_host: str = "127.0.0.1"):
         """The headless main loop (also what the CLI drives).
 
         With `video_path`, every rendered frame is also collected into a
@@ -201,13 +206,24 @@ class Simulation:
         viewer = None
         if serve_port is not None:
             from tpu_fluid.render.live import LiveViewer
-            viewer = LiveViewer(self, port=serve_port).start()
+            viewer = LiveViewer(self, port=serve_port,
+                                host=serve_host).start()
             print(f"live viewer: http://localhost:{viewer.port}/",
                   flush=True)
         frames = []
         done = 0
         while done < n_steps:
-            if viewer is not None and self.paused:
+            if self.paused:
+                if viewer is None:
+                    # Headless pause: nothing can ever unpause us (keys only
+                    # arrive through the live viewer), so return explicitly
+                    # with the remaining step budget UNCONSUMED — resume()
+                    # and call run() again.  The reference's pause likewise
+                    # never advances the simulation (`main.cpp:163-177`).
+                    print(f"run(): paused with no live viewer — returning "
+                          f"with {n_steps - done} steps unconsumed",
+                          flush=True)
+                    break
                 import time as _time
                 img = np.asarray(jax.device_get(
                     self.render_frame(width, height,

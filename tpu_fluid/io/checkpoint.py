@@ -52,5 +52,10 @@ def load_checkpoint(path: str):
         cfg_dict = {k: deep_tuple(v) if isinstance(v, list) else v
                     for k, v in cfg_dict.items()}
         cfg = FluidConfig(**cfg_dict)
-        leaves = [jax.device_put(data[name]) for name in FluidState._fields]
+        # fields added after a checkpoint was written load as their initial
+        # value (additive format evolution: `dropped` arrived in round 4)
+        defaults = {"dropped": np.zeros((), np.int32)}
+        leaves = [jax.device_put(data[name] if name in data.files
+                                 else defaults[name])
+                  for name in FluidState._fields]
     return FluidState(*leaves), cfg

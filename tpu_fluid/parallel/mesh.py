@@ -53,6 +53,7 @@ def state_pspecs() -> FluidState:
         active=P(AXIS),
         detailed_occ=P(AXIS),
         step=P(),
+        dropped=P(),
     )
 
 

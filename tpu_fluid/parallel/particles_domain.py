@@ -16,12 +16,16 @@ analogue of the reference's spatial decomposition, SURVEY.md §5.7):
 so per-step particle communication is two migration buffers + halo planes —
 it grows with slab SURFACE, not grid volume.
 
-Static-shape costs (XLA has no dynamic sizes): each shard allocates
-`slots = particle_count/n * particle_slot_slack` particle slots, and the
-migration buffers hold `slots * particle_migrate_frac` per direction.
-Overflow in either (a slab accumulating more particles than its slots, or
-more one-hop crossers than the buffer) deactivates the excess — bounded-loss
-semantics, like the reference dropping particles that escape the box.
+Static-shape costs (XLA has no dynamic sizes): each shard allocates `slots`
+particle slots sized from the ACTUAL initial per-slab census times
+`particle_slot_slack` (see domain_slots — init is therefore drop-free by
+construction and raises if it ever isn't), and the migration buffers hold
+`slots * particle_migrate_frac` per direction.  Overflow at runtime (a slab
+accumulating more particles than its slots, or more one-hop crossers than
+the buffer) deactivates the excess — bounded-loss semantics, like the
+reference dropping particles that escape the box — and every loss is
+counted into the on-device `FluidState.dropped` counter (surfaced by
+utils/diagnostics.py), never silent.
 Particles that move more than one slab per step (CFL violation; cannot
 happen with the solid-wall repel field) migrate one hop per step and sample
 clamped values until they arrive.
@@ -44,16 +48,31 @@ from tpu_fluid.parallel.halo import halo_planes
 from tpu_fluid.parallel.mesh import AXIS
 
 
-def domain_slots(cfg: FluidConfig, n: int) -> int:
-    """Particle slots per shard, padded to a lane multiple (128)."""
+def domain_slots(cfg: FluidConfig, n: int, census=None) -> int:
+    """Particle slots per shard, padded to a lane multiple (128).
+
+    With `census` (per-shard initial particle counts — domain_shard_state
+    computes it), slots are sized from the LARGEST slab's census times the
+    slack headroom: scenes that concentrate particles in a few slabs (the
+    flagship scaled_scene cube spans half the x extent, putting 2x the
+    global mean in half the slabs) start with real headroom instead of a
+    silent capacity cliff.  Without a census: the global-mean floor
+    particle_count/n * slack."""
     base = -(-cfg.particle_count // n)
-    slots = int(np.ceil(base * cfg.particle_slot_slack))
+    peak = base if census is None else max(1, int(np.max(census)))
+    slots = max(peak, int(np.ceil(peak * cfg.particle_slot_slack)))
     return -(-slots // 128) * 128
 
 
+def migrate_capacity(slots: int, cfg: FluidConfig) -> int:
+    """Per-direction migration-buffer rows for a shard holding `slots`
+    particle slots (the step derives it from the state's actual local slot
+    count, so census-sized states get proportionally sized buffers)."""
+    return max(128, -(-int(slots * cfg.particle_migrate_frac) // 128) * 128)
+
+
 def migrate_slots(cfg: FluidConfig, n: int) -> int:
-    return max(128, -(-int(domain_slots(cfg, n)
-                           * cfg.particle_migrate_frac) // 128) * 128)
+    return migrate_capacity(domain_slots(cfg, n), cfg)
 
 
 def domain_shard_state(state: FluidState, mesh, cfg: FluidConfig
@@ -68,23 +87,25 @@ def domain_shard_state(state: FluidState, mesh, cfg: FluidConfig
     if gx % n:
         raise ValueError(f"grid x size {gx} must divide the mesh ({n})")
     lx = gx // n
-    slots = domain_slots(cfg, n)
     pos = np.asarray(jax.device_get(state.positions))
     act = np.asarray(jax.device_get(state.active))
+    owner = np.clip(np.floor(pos[:, 0]).astype(np.int64), 0, gx - 1) // lx
+    census = np.bincount(owner[act], minlength=n)
+    slots = domain_slots(cfg, n, census)
     new_pos = np.zeros((n * slots, 3), dtype=pos.dtype)
     new_act = np.zeros((n * slots,), dtype=bool)
-    owner = np.clip(np.floor(pos[:, 0]).astype(np.int64), 0, gx - 1) // lx
-    dropped = 0
     for i in range(n):
         src = np.nonzero(act & (owner == i))[0]
-        k = min(len(src), slots)
-        dropped += len(src) - k
-        new_pos[i * slots:i * slots + k] = pos[src[:k]]
-        new_act[i * slots:i * slots + k] = True
-    if dropped:
-        print(f"domain_shard_state: {dropped} particles exceeded the "
-              f"{slots} slots of their shard and were dropped "
-              f"(raise cfg.particle_slot_slack)", flush=True)
+        if len(src) > slots:
+            # unreachable with census-based sizing (slots >= census.max());
+            # kept as a hard error — a drop-at-init must never be silent
+            # (the reference's init activates exactly the cube,
+            # 00_init_particles/init_particles.comp:36-49)
+            raise ValueError(
+                f"domain_shard_state: shard {i} holds {len(src)} particles "
+                f"but only {slots} slots were sized")
+        new_pos[i * slots:i * slots + len(src)] = pos[src]
+        new_act[i * slots:i * slots + len(src)] = True
     state = state._replace(positions=jnp.asarray(new_pos),
                            active=jnp.asarray(new_act))
     return jax.device_put(state, state_shardings(mesh))
@@ -146,10 +167,15 @@ def migrate(positions: jnp.ndarray, active: jnp.ndarray, x0, lx: int,
     """One-hop particle exchange after the move: active slots whose cell x
     left [x0, x0 + lx) are packed into fixed-capacity (m, 3) buffers,
     ppermuted to the x-neighbor shards, and scattered into this shard's free
-    slots.  Returns (positions, active).
+    slots.  Returns (positions, active, n_dropped).
 
     Overflow semantics (all static-shape): crossers beyond m per direction,
-    and arrivals beyond the free slots, are deactivated (dropped)."""
+    and arrivals beyond the free slots, are deactivated (dropped) — and
+    COUNTED: `n_dropped` is this shard's (leavers - placements) balance, so
+    `psum(n_dropped)` over the mesh is exactly the global particle loss of
+    this exchange, covering all three bounded-loss paths (send-buffer
+    overflow, receive-slot exhaustion, and a crosser leaving past a domain
+    end, which cannot occur with solid walls)."""
     n = jax.lax.axis_size(axis_name)
     cap = positions.shape[0]
     cx = jnp.floor(positions[:, 0]).astype(jnp.int32)
@@ -184,7 +210,9 @@ def migrate(positions: jnp.ndarray, active: jnp.ndarray, x0, lx: int,
     tgt = jnp.where(ok, jnp.take(holes, jnp.clip(rank, 0, 2 * m - 1)), cap)
     positions = positions.at[tgt].set(in_pos, mode="drop")
     active = keep.at[tgt].set(True, mode="drop")
-    return positions, active
+    leavers = jnp.sum(go_l) + jnp.sum(go_r)
+    placed = jnp.sum(ok.astype(jnp.int32))
+    return positions, active, (leavers - placed).astype(jnp.int32)
 
 
 # ----------------------------------------------------------------- scatters

@@ -330,16 +330,20 @@ def _local_step(state: FluidState, cfg: FluidConfig,
 
     if domain:
         from tpu_fluid.parallel.particles_domain import (
-            detailed_occupancy_local, migrate, migrate_slots,
+            detailed_occupancy_local, migrate, migrate_capacity,
             move_particles_local)
         pos = move_particles_local(move_vel, state.positions, state.active,
                                    cfg, x0, use_pallas, interpret)
-        pos, active = migrate(pos, state.active, x0, lx,
-                              migrate_slots(cfg, n_shards))
+        # buffer capacity derives from the state's ACTUAL local slot count
+        # (census-sized by domain_shard_state), not the global-mean formula
+        pos, active, ndrop = migrate(pos, state.active, x0, lx,
+                                     migrate_capacity(pos.shape[0], cfg))
+        dropped = state.dropped + jax.lax.psum(ndrop, AXIS)
         r = cfg.surface_render_resolution
         occ = detailed_occupancy_local(pos, active, cfg, x0 * r, lx * r)
     else:
         active = state.active
+        dropped = state.dropped
         vel_full = jax.lax.all_gather(move_vel, AXIS, axis=1, tiled=True)
         pos = particles.move_particles(vel_full, state.positions,
                                        state.active, cfg)
@@ -422,6 +426,7 @@ def _local_step(state: FluidState, cfg: FluidConfig,
         active=active,
         detailed_occ=occ,
         step=state.step + 1,
+        dropped=dropped,
     )
 
 

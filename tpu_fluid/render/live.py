@@ -10,12 +10,17 @@ simulation loop:
   /stream   multipart/x-mixed-replace MJPEG of the latest rendered frame
   /key?k=X  applies a key to the live Simulation (same bindings as the
             reference: q/e pause/resume, r/f surface off/on, plus a/d
-            orbit, w/s dolly, p particle toggle)
+            orbit, w/s dolly, p particle toggle, arrow keys strafe,
+            space/shift fly up/down — the reference's full WASD +
+            space/shift camera, `main.cpp:128,160`, `README.md:14-18`)
   /state    JSON of the current toggles (also used by tests)
 
 Start with `tpu-fluid ... --serve 8089 --frame-every N` and open
 http://localhost:8089/ — the sim keeps rendering while paused, exactly like
 the reference's pause (`main.cpp:163-177`).
+
+The server binds 127.0.0.1 by default: /key mutates live state and /stream
+exposes frames, so network exposure is opt-in (`--serve-host 0.0.0.0`).
 """
 
 from __future__ import annotations
@@ -30,19 +35,24 @@ _PAGE = b"""<!doctype html><title>tpu-fluid live</title>
 <style>body{background:#111;color:#ddd;font:14px monospace;text-align:center}
 img{max-width:96vw;max-height:86vh;image-rendering:pixelated}</style>
 <body><h3>tpu-fluid &mdash; q pause &middot; e resume &middot; r/f surface
-off/on &middot; p particles &middot; a/d orbit &middot; w/s dolly</h3>
+off/on &middot; p particles &middot; a/d orbit &middot; w/s dolly &middot;
+&larr;/&rarr; strafe &middot; space/shift up/down</h3>
 <img src="/stream"><script>
-document.addEventListener('keydown', ev =>
-  fetch('/key?k=' + encodeURIComponent(ev.key)));
+document.addEventListener('keydown', ev => {
+  if (ev.key === ' ' || ev.key.startsWith('Arrow')) ev.preventDefault();
+  fetch('/key?k=' + encodeURIComponent(ev.key));
+});
 </script></body>"""
 
 
 class LiveViewer:
     """Serves the latest rendered frame and routes keys to a Simulation."""
 
-    def __init__(self, sim, port: int = 8089, quality: int = 85):
+    def __init__(self, sim, port: int = 8089, quality: int = 85,
+                 host: str = "127.0.0.1"):
         self.sim = sim
         self.port = port
+        self.host = host
         self.quality = quality
         self._jpeg = None
         self._seq = 0
@@ -90,6 +100,25 @@ class LiveViewer:
             to_c = np.asarray(center, dtype=np.float64) - pos
             step = to_c / max(np.linalg.norm(to_c), 1e-6) \
                 * (2.0 if k == "w" else -2.0)
+            sim.camera = sim.camera.move(tuple(step))
+        elif k in ("ArrowLeft", "ArrowRight"):
+            # lateral translation (the reference's A/D strafe,
+            # `main.cpp:128,160`): move along the camera's right vector
+            # without re-aiming
+            import numpy as np
+            d = np.asarray(sim.camera.direction, dtype=np.float64)
+            up = np.asarray(sim.camera.up, dtype=np.float64)
+            right = np.cross(d / max(np.linalg.norm(d), 1e-6), up)
+            right = right / max(np.linalg.norm(right), 1e-6)
+            step = right * (-2.0 if k == "ArrowLeft" else 2.0)
+            sim.camera = sim.camera.move(tuple(step))
+        elif k in (" ", "Shift"):
+            # vertical translation (the reference's space/shift fly keys,
+            # `README.md:14-18`): the scene's up is -y (`main.cpp:128`)
+            import numpy as np
+            up = np.asarray(sim.camera.up, dtype=np.float64)
+            up = up / max(np.linalg.norm(up), 1e-6)
+            step = up * (2.0 if k == " " else -2.0)
             sim.camera = sim.camera.move(tuple(step))
 
     def state(self) -> dict:
@@ -145,7 +174,7 @@ class LiveViewer:
                     self.send_response(404)
                     self.end_headers()
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._server.server_address[1]   # resolve port 0
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         daemon=True)

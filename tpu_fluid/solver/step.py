@@ -119,6 +119,7 @@ def simulation_step(state: FluidState, cfg: FluidConfig,
         active=state.active,
         detailed_occ=occ,
         step=state.step + 1,
+        dropped=state.dropped,
     )
 
 

@@ -33,6 +33,7 @@ def _diagnostics(state: FluidState, cfg: FluidConfig):
     return {
         "step": state.step,
         "particles_active": act.sum(),
+        "particles_dropped": state.dropped,
         "cells_water": nwater,
         "cells_air": (t == CellType.AIR).sum(),
         "cells_solid": (t == CellType.SOLID).sum(),
@@ -53,7 +54,9 @@ def diagnostics(state: FluidState, cfg: FluidConfig) -> Dict[str, float]:
 
 
 def format_diagnostics(d: Dict[str, float]) -> str:
+    dropped = int(d.get("particles_dropped", 0))
     return (f"step {int(d['step']):6d}  particles {int(d['particles_active'])}"
-            f"  water {int(d['cells_water'])}  air {int(d['cells_air'])}"
+            + (f" (dropped {dropped})" if dropped else "")
+            + f"  water {int(d['cells_water'])}  air {int(d['cells_air'])}"
             f"  |div| mean {d['div_water_mean']:.2e} max {d['div_water_max']:.2e}"
             f"  CFL {d['cfl']:.3f}  pos [{d['pos_min']:.2f},{d['pos_max']:.2f}]")
