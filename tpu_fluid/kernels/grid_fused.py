@@ -121,17 +121,35 @@ def _make_asm(tx, h, gy, gz, dummy):
     return asm
 
 
+def _make_asm_direct(i, nb, gy, gz, dummy):
+    """Direct-halo slab assembler (the kernels/jacobi.py:97-116 technique):
+    the h-row halos arrive as SEPARATE blocks read straight out of the
+    UNPADDED field arrays via clamped h-row-unit index maps — no x-pad
+    copies, no lost XLA consumer fusion on the inputs.  Domain-end programs
+    read a clamped (garbage) block; mask it to the zero-pad convention."""
+    def asm(l, cur, r, vdim=False):
+        lv = jnp.where(i == 0, jnp.zeros_like(l[...]), l[...])
+        rv = jnp.where(i == nb - 1, jnp.zeros_like(r[...]), r[...])
+        parts = [lv, cur[...], rv]
+        if dummy:
+            zshape = ((3, dummy, gy, gz) if vdim else (dummy, gy, gz))
+            parts.append(jnp.zeros(zshape, dtype=cur.dtype))
+        return jnp.concatenate(parts, axis=1 if vdim else 0)
+    return asm
+
+
 # ------------------------------------------------------------- stages 02-06
 def _classify_extrap_kernel(x0_ref, occ_p, occ_c, occ_n, ot_p, ot_c, ot_n,
                             v_p, v_c, v_n, types_out, vel_out, *,
-                            h, tx, shape, solid_boxes):
+                            h, tx, shape, solid_boxes, nb=None):
     gx, gy, gz = shape
     x0 = x0_ref[0]
     i = pl.program_id(0)
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    asm = _make_asm(tx, h, gy, gz, dummy)
+    asm = (_make_asm_direct(i, nb, gy, gz, dummy) if nb
+           else _make_asm(tx, h, gy, gz, dummy))
 
     occ = asm(occ_p, occ_c, occ_n).astype(jnp.int32)
     oldt = asm(ot_p, ot_c, ot_n).astype(jnp.int32)
@@ -190,14 +208,15 @@ def _classify_extrap_kernel(x0_ref, occ_p, occ_c, occ_n, ot_p, ot_c, ot_n,
 def _forces_solids_div_kernel(x0_ref, t_p, t_c, t_n, v_p, v_c, v_n,
                               vel_out, div_out, *,
                               h, tx, shape, dt, gravity, fountain,
-                              fountain_force, extra_forces, repel):
+                              fountain_force, extra_forces, repel, nb=None):
     gx, gy, gz = shape
     x0 = x0_ref[0]
     i = pl.program_id(0)
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    asm = _make_asm(tx, h, gy, gz, dummy)
+    asm = (_make_asm_direct(i, nb, gy, gz, dummy) if nb
+           else _make_asm(tx, h, gy, gz, dummy))
 
     t = asm(t_p, t_c, t_n).astype(jnp.int32)
     vel = asm(v_p, v_c, v_n, vdim=True)
@@ -255,14 +274,15 @@ def _forces_solids_div_kernel(x0_ref, t_p, t_c, t_n, v_p, v_c, v_n,
 
 # --------------------------------------------------------------- stage 13
 def _project_kernel(x0_ref, t_p, t_c, t_n, p_p, p_c, p_n, v_p, v_c, v_n,
-                    vel_out, *, h, tx, shape, scale):
+                    vel_out, *, h, tx, shape, scale, nb=None):
     gx, gy, gz = shape
     x0 = x0_ref[0]
     i = pl.program_id(0)
     nrows = -(-(tx + 2 * h) // 8) * 8
     dummy = nrows - (tx + 2 * h)
 
-    asm = _make_asm(tx, h, gy, gz, dummy)
+    asm = (_make_asm_direct(i, nb, gy, gz, dummy) if nb
+           else _make_asm(tx, h, gy, gz, dummy))
 
     t = asm(t_p, t_c, t_n).astype(jnp.int32)
     p = asm(p_p, p_c, p_n)
@@ -316,23 +336,59 @@ def _xpad(a, tx, h, halo):
     return jnp.concatenate([z, left, a, right, z], axis=ax)
 
 
-def _call(kern, inputs, out_shapes, tx, gy, gz, gx, interpret):
-    """Shared pallas_call builder: x0 in SMEM + prev/cur/next slabs of each
-    input; slab-blocked outputs."""
+def _call(kern, inputs, out_shapes, tx, gy, gz, gx, interpret, h=None):
+    """Shared pallas_call builder.  With `h` (direct mode, requires h | tx
+    and UNPADDED inputs): x0 in SMEM + per array (left-halo, current,
+    right-halo) blocks, the h-row halos read straight from the field via
+    clamped h-row-unit index maps (kernels/jacobi.py:217-238 technique).
+    Without `h`: x0 + prev/cur/next slabs of each x-PADDED input."""
     x0a, arrays = inputs[0], inputs[1:]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     ops = [x0a]
-    for a in arrays:
-        if a.ndim == 4:
-            spec = lambda off: pl.BlockSpec(        # noqa: E731
-                (3, tx, gy, gz), lambda i, o=off: (0, i + o, 0, 0),
-                memory_space=pltpu.VMEM)
-        else:
-            spec = lambda off: pl.BlockSpec(        # noqa: E731
-                (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
-                memory_space=pltpu.VMEM)
-        in_specs += [spec(0), spec(1), spec(2)]
-        ops += [a, a, a]
+    if h is not None:
+        r0 = tx // h                 # index maps count in h-row units
+        nb = gx // tx
+        last = nb * r0 - 1
+        for a in arrays:
+            if a.ndim == 4:
+                cur = pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+                lsp = pl.BlockSpec(
+                    (3, h, gy, gz),
+                    lambda i: (0, jnp.maximum(i * r0 - 1, 0), 0, 0),
+                    memory_space=pltpu.VMEM)
+                rsp = pl.BlockSpec(
+                    (3, h, gy, gz),
+                    lambda i: (0, jnp.minimum((i + 1) * r0, last), 0, 0),
+                    memory_space=pltpu.VMEM)
+            else:
+                cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+                lsp = pl.BlockSpec(
+                    (h, gy, gz),
+                    lambda i: (jnp.maximum(i * r0 - 1, 0), 0, 0),
+                    memory_space=pltpu.VMEM)
+                rsp = pl.BlockSpec(
+                    (h, gy, gz),
+                    lambda i: (jnp.minimum((i + 1) * r0, last), 0, 0),
+                    memory_space=pltpu.VMEM)
+            # order (l, cur, r): the kernels' (a_p, a_c, a_n) slots become
+            # (left halo, current, right halo) — asm's middle is cur in
+            # both modes
+            in_specs += [lsp, cur, rsp]
+            ops += [a, a, a]
+    else:
+        for a in arrays:
+            if a.ndim == 4:
+                spec = lambda off: pl.BlockSpec(        # noqa: E731
+                    (3, tx, gy, gz), lambda i, o=off: (0, i + o, 0, 0),
+                    memory_space=pltpu.VMEM)
+            else:
+                spec = lambda off: pl.BlockSpec(        # noqa: E731
+                    (tx, gy, gz), lambda i, o=off: (i + o, 0, 0),
+                    memory_space=pltpu.VMEM)
+            in_specs += [spec(0), spec(1), spec(2)]
+            ops += [a, a, a]
     out_specs, shapes = [], []
     for shp, dt in out_shapes:
         if len(shp) == 4:
@@ -370,9 +426,16 @@ def classify_extrap_pallas(occ_sim, old_types, vel, cfg, *,
     halos = halos or (None,) * 3
     x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
         jnp.asarray(x0, jnp.int32).reshape(1)
+    direct = all(hl is None for hl in halos) and tx % h == 0
     kern = functools.partial(
         _classify_extrap_kernel, h=h, tx=tx,
-        shape=(global_gx or gx, gy, gz), solid_boxes=tuple(cfg.solid_boxes))
+        shape=(global_gx or gx, gy, gz), solid_boxes=tuple(cfg.solid_boxes),
+        nb=(gx // tx) if direct else None)
+    if direct:
+        return _call(kern, (x0a, occ_sim, old_types, vel),
+                     (((gx, gy, gz), jnp.uint8),
+                      ((3, gx, gy, gz), vel.dtype)),
+                     tx, gy, gz, gx, interpret, h=h)
     return _call(kern,
                  (x0a, _xpad(occ_sim, tx, h, halos[0]),
                   _xpad(old_types, tx, h, halos[1]),
@@ -392,12 +455,19 @@ def forces_solids_div_pallas(types, vel, cfg, *, tx: int = 16, halos=None,
     halos = halos or (None,) * 2
     x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
         jnp.asarray(x0, jnp.int32).reshape(1)
+    direct = all(hl is None for hl in halos)
     kern = functools.partial(
         _forces_solids_div_kernel, h=h, tx=tx,
         shape=(global_gx or gx, gy, gz), dt=cfg.dt, gravity=cfg.gravity,
         fountain=tuple(cfg.fountain), fountain_force=cfg.fountain_force,
         extra_forces=tuple(cfg.extra_forces),
-        repel=cfg.solid_repel_velocity)
+        repel=cfg.solid_repel_velocity,
+        nb=(gx // tx) if direct else None)
+    if direct:
+        return _call(kern, (x0a, types, vel),
+                     (((3, gx, gy, gz), vel.dtype),
+                      ((gx, gy, gz), vel.dtype)),
+                     tx, gy, gz, gx, interpret, h=h)
     return _call(kern,
                  (x0a, _xpad(types, tx, h, halos[0]),
                   _xpad(vel, tx, h, halos[1])),
@@ -415,8 +485,14 @@ def project_pallas(types, p, vel, cfg, *, tx: int = 16, halos=None,
     x0a = jnp.zeros((1,), jnp.int32) if x0 is None else \
         jnp.asarray(x0, jnp.int32).reshape(1)
     scale = cfg.dt / (cfg.fluid_density * cfg.cell_width)
+    direct = all(hl is None for hl in halos)
     kern = functools.partial(_project_kernel, h=h, tx=tx,
-                             shape=(global_gx or gx, gy, gz), scale=scale)
+                             shape=(global_gx or gx, gy, gz), scale=scale,
+                             nb=(gx // tx) if direct else None)
+    if direct:
+        return _call(kern, (x0a, types, p, vel),
+                     (((3, gx, gy, gz), vel.dtype),),
+                     tx, gy, gz, gx, interpret, h=h)
     return _call(kern,
                  (x0a, _xpad(types, tx, h, halos[0]),
                   _xpad(p, tx, h, halos[1]), _xpad(vel, tx, h, halos[2])),
