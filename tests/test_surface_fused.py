@@ -125,7 +125,45 @@ def test_y_chunked_matches_unchunked(steps):
               interpret=True)
     # detailed grid is 32^3: plane 32*32 = 1024; max_plane 300 forces
     # by = 8 -> chunks of 8,8,8,8 at steps=2 (h=3 -> extended plane 14*32)
-    a = surface_fused_auto(occ, inertia, f2, skip, max_plane=300, **kw)
+    a = surface_fused_auto(occ, inertia, f2, skip, max_plane=300,
+                           use_2d=False, **kw)
     b = surface_fused_auto(occ, inertia, f2, skip, **kw)
     for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("steps", [0, 2, 3])
+def test_2d_blocked_matches_unchunked(steps):
+    """The (x, y)-blocked direct-read kernel (surface_fused_2d — the 512^3-
+    detailed fast path replacing host-side y-chunk assembly) must match the
+    unchunked 1D kernel bitwise, including domain-edge tiles whose clamped
+    halo reads are garbage until the in_dom mask zeroes them."""
+    from tpu_fluid.kernels.surface_fused import (surface_fused_2d,
+                                                 surface_fused_auto)
+    cfg = FluidConfig.scaled_scene(16, particle_count=1000,
+                                   jacobi_iters=2).replace(
+        float_density_diffuse_steps=steps)
+    occ, inertia, f2, types = _random_inputs(cfg, seed=7)
+    skip = surface_fields.solid_parent_mask(types, cfg).astype(jnp.uint8)
+    kw = dict(steps=cfg.float_density_diffuse_steps,
+              k=cfg.float_density_diffuse_coefficient,
+              inc_filled=cfg.inertia_increase_filled,
+              inc_neigh=cfg.inertia_increase_neighbour,
+              required_hits=cfg.inertia_required_neighbour_hits,
+              dec=cfg.inertia_decrease, max_inertia=cfg.max_inertia,
+              div_coef=cfg.float_density_division_coefficient,
+              interpret=True)
+    # small tiles on the 32^3 detailed grid -> 4x4 programs, corners and
+    # edge clamping all exercised
+    h = steps + 1
+    # halo: >= h, divides 32, and keeps ty + 2*hh sublane-aligned
+    hh = next(d for d in range(h, 17) if 32 % d == 0 and (2 * d) % 8 == 0)
+    a = surface_fused_2d(occ, inertia, f2, skip,
+                         tile=(8, 8, hh, hh), **kw)
+    # max_plane=0 forces the "large plane" branch -> auto picks the 2D path
+    a2 = surface_fused_auto(occ, inertia, f2, skip, max_plane=0, **kw)
+    b = surface_fused_auto(occ, inertia, f2, skip, **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(a2, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -46,6 +46,53 @@ def _neighbor_sum(a, nrows, gy, gz):
             + _zshift(a, 1, 2, gz) + _zshift(a, -1, 2, gz))
 
 
+def _surface_stages(occ, inertia, f2_old, skip, in_dom, dims, *,
+                    steps, k, inc_filled, inc_neigh, required_hits, dec,
+                    max_inertia, div_coef):
+    """Stages 16-18 on an assembled extended slab (any shape `dims`); every
+    input has already been masked to the GLSL robust zero outside `in_dom`.
+    Returns (inertia', f1', f2') on the full extended slab — the caller
+    keeps the central rows."""
+    nrows, gy, gz = dims
+
+    # stage 16: inertia update (densities_inertia.comp:30-62).  Selects are
+    # arithmetic (0/1 indicator * branch difference) rather than
+    # jnp.where-on-comparison: Mosaic rejects the i1-mask relayout the
+    # scalar-branch wheres need on these wide (·, 256, 256) slabs
+    # ("Invalid relayout ... i1 ... {0,0} -> {*,*}"); all-int arithmetic is
+    # bitwise-identical to the select.
+    filled = jnp.minimum(occ.astype(jnp.int32), 1)
+    hits = _neighbor_sum(filled, nrows, gy, gz)
+    ge = jnp.clip(hits - (required_hits - 1), 0, 1)   # hits >= required
+    inc = filled * inc_filled + ge * hits * inc_neigh
+    nz = jnp.clip(inc, 0, 1)                          # inc != 0 (inc >= 0)
+    increased = inertia + inc
+    decreased = jnp.maximum(inertia - dec, 0)
+    inertia = jnp.minimum(decreased + nz * (increased - decreased),
+                          max_inertia)
+
+    # stage 17: signed field (float_densities.comp:22-28); out-of-domain
+    # rows would read -1 from their zero inertia — force the blur's zero.
+    # nzi in {0.0, 1.0}: 1*q + 0 = q and 0*q + (-1) = -1, both exact.
+    nzi = jnp.clip(inertia, 0, 1).astype(jnp.float32)
+    f = nzi * (inertia.astype(jnp.float32) / div_coef) + (nzi - 1.0)
+    f = jnp.where(in_dom, f, 0.0)
+
+    # stage 18: ping-pong blur; `a` plays f1, `b` plays f2
+    a, b = f, f2_old
+    for it in range(steps):
+        src, dst = (a, b) if it % 2 == 0 else (b, a)
+        blurred = (1.0 - 6.0 * k) * src + k * _neighbor_sum(src, nrows,
+                                                            gy, gz)
+        res = jnp.where(skip, dst, blurred)
+        res = jnp.where(in_dom, res, 0.0)
+        if it % 2 == 0:
+            b = res
+        else:
+            a = res
+    return inertia, a, b
+
+
 def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
                     f2_c, f2_l, f2_r, sk_c, sk_l, sk_r,
                     inertia_out, f1_out, f2_out, *,
@@ -99,48 +146,195 @@ def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
     f2_old = jnp.where(in_dom, f2_old, 0.0)
     skip = skip & in_dom
 
-    # stage 16: inertia update (densities_inertia.comp:30-62).  Selects are
-    # arithmetic (0/1 indicator * branch difference) rather than
-    # jnp.where-on-comparison: Mosaic rejects the i1-mask relayout the
-    # scalar-branch wheres need on these wide (·, 256, 256) slabs
-    # ("Invalid relayout ... i1 ... {0,0} -> {*,*}"); all-int arithmetic is
-    # bitwise-identical to the select.
-    filled = jnp.minimum(occ.astype(jnp.int32), 1)
-    hits = _neighbor_sum(filled, nrows, gy, gz)
-    ge = jnp.clip(hits - (required_hits - 1), 0, 1)   # hits >= required
-    inc = filled * inc_filled + ge * hits * inc_neigh
-    nz = jnp.clip(inc, 0, 1)                          # inc != 0 (inc >= 0)
-    increased = inertia + inc
-    decreased = jnp.maximum(inertia - dec, 0)
-    inertia = jnp.minimum(decreased + nz * (increased - decreased),
-                          max_inertia)
-
-    # stage 17: signed field (float_densities.comp:22-28); out-of-domain
-    # rows would read -1 from their zero inertia — force the blur's zero.
-    # nzi in {0.0, 1.0}: 1*q + 0 = q and 0*q + (-1) = -1, both exact.
-    nzi = jnp.clip(inertia, 0, 1).astype(jnp.float32)
-    f = nzi * (inertia.astype(jnp.float32) / div_coef) + (nzi - 1.0)
-    f = jnp.where(in_dom, f, 0.0)
-
-    # stage 18: ping-pong blur; `a` plays f1, `b` plays f2
-    a, b = f, f2_old
-    for it in range(steps):
-        src, dst = (a, b) if it % 2 == 0 else (b, a)
-        blurred = (1.0 - 6.0 * k) * src + k * _neighbor_sum(src, nrows,
-                                                            gy, gz)
-        res = jnp.where(skip, dst, blurred)
-        res = jnp.where(in_dom, res, 0.0)
-        if it % 2 == 0:
-            b = res
-        else:
-            a = res
+    inertia, a, b = _surface_stages(
+        occ, inertia, f2_old, skip, in_dom, (nrows, gy, gz),
+        steps=steps, k=k, inc_filled=inc_filled, inc_neigh=inc_neigh,
+        required_hits=required_hits, dec=dec, max_inertia=max_inertia,
+        div_coef=div_coef)
 
     inertia_out[...] = inertia[hw:hw + tx]
     f1_out[...] = a[hw:hw + tx]
     f2_out[...] = b[hw:hw + tx]
 
 
+def _surface_kernel2d(x0_ref, occ_c, occ_xl, occ_xr, occ_yl, occ_yr,
+                      occ_ll, occ_lr, occ_rl, occ_rr,
+                      in_c, in_xl, in_xr, in_yl, in_yr,
+                      in_ll, in_lr, in_rl, in_rr,
+                      f2_c, f2_xl, f2_xr, f2_yl, f2_yr,
+                      f2_ll, f2_lr, f2_rl, f2_rr,
+                      sk_c, sk_xl, sk_xr, sk_yl, sk_yr,
+                      sk_ll, sk_lr, sk_rl, sk_rr,
+                      inertia_out, f1_out, f2_out, *,
+                      hx, hy, tx, ty, shape, steps, k, inc_filled,
+                      inc_neigh, required_hits, dec, max_inertia, div_coef):
+    """(x, y)-blocked variant for planes too large for the 1D slab kernel
+    (512^3 detailed: a (tx, 512, 512) slab alone busts VMEM).  Each program
+    assembles a (tx+2hx, ty+2hy, gz) extended tile from NINE direct-read
+    blocks per field — current, 4 edge halos, 4 corners — via clamped
+    hx/hy-unit index maps; garbage from domain-end clamping is zeroed by
+    the in_dom mask.  This replaces surface_fused_auto's host-side y-chunk
+    assembly (4 fields sliced+padded per chunk — ~4.9 ms of pure copies at
+    512^3) with zero data movement outside the kernel."""
+    gx, gy, gz = shape
+    x0 = x0_ref[0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ex = tx + 2 * hx                       # major dim needs no 8-alignment
+    ey = ty + 2 * hy                       # caller guarantees 8 | ey
+
+    def asm(c, xl, xr, yl, yr, ll, lr, rl, rr):
+        left = jnp.concatenate([ll[...], xl[...], lr[...]], axis=1)
+        mid = jnp.concatenate([yl[...], c[...], yr[...]], axis=1)
+        right = jnp.concatenate([rl[...], xr[...], rr[...]], axis=1)
+        return jnp.concatenate([left, mid, right], axis=0)
+
+    occ = asm(occ_c, occ_xl, occ_xr, occ_yl, occ_yr,
+              occ_ll, occ_lr, occ_rl, occ_rr)
+    inertia = asm(in_c, in_xl, in_xr, in_yl, in_yr,
+                  in_ll, in_lr, in_rl, in_rr).astype(jnp.int32)
+    f2_old = asm(f2_c, f2_xl, f2_xr, f2_yl, f2_yr,
+                 f2_ll, f2_lr, f2_rl, f2_rr)
+    skip = asm(sk_c, sk_xl, sk_xr, sk_yl, sk_yr,
+               sk_ll, sk_lr, sk_rl, sk_rr) != 0
+
+    gxrow = (x0 + i * tx - hx
+             + jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0))
+    gyrow = (j * ty - hy
+             + jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1))
+    in_dom = ((gxrow >= 0) & (gxrow < gx)
+              & (gyrow >= 0) & (gyrow < gy))
+    occ = jnp.where(in_dom, occ, 0)
+    inertia = inertia * in_dom.astype(jnp.int32)
+    f2_old = jnp.where(in_dom, f2_old, 0.0)
+    skip = skip & in_dom
+
+    inertia, a, b = _surface_stages(
+        occ, inertia, f2_old, skip, in_dom, (ex, ey, gz),
+        steps=steps, k=k, inc_filled=inc_filled, inc_neigh=inc_neigh,
+        required_hits=required_hits, dec=dec, max_inertia=max_inertia,
+        div_coef=div_coef)
+
+    inertia_out[...] = inertia[hx:hx + tx, hy:hy + ty]
+    f1_out[...] = a[hx:hx + tx, hy:hy + ty]
+    f2_out[...] = b[hx:hx + tx, hy:hy + ty]
+
+
 MAX_PLANE = 98304   # gy*gz above which the slab working set exceeds VMEM
+
+# ~10 live extended-tile arrays at 4 B each against a ~70 MB working-set
+# budget (the rest of the 100 MB cap goes to the double-buffered in/out
+# blocks)
+_TILE2D_BUDGET_CELLS = 70 * 1024 * 1024 // 40
+
+
+def _tile2d(gx: int, gy: int, gz: int, h: int):
+    """Pick (tx, ty, hx, hy) for the 2D kernel: halos >= h dividing their
+    tile AND the grid extent (the clamped index maps count in halo units),
+    ty + 2*hy sublane-aligned, extended tile within the VMEM budget.
+    Maximizes core/extended area (least wasted halo compute); returns None
+    when no admissible tiling exists (caller falls back to y-chunks)."""
+    best = None
+    txs = [t for t in (128, 96, 64, 48, 32, 24, 16, 12, 8) if t <= gx]
+    tys = [t for t in (128, 96, 64, 48, 32, 24, 16, 8) if t <= gy]
+    for hx in range(h, min(gx, 16) + 1):
+        if gx % hx:
+            continue
+        for tx in txs:
+            if gx % tx or tx % hx:
+                continue
+            for hy in range(h, min(gy, 16) + 1):
+                if gy % hy:
+                    continue
+                for ty in tys:
+                    if gy % ty or ty % hy or (ty + 2 * hy) % 8:
+                        continue
+                    ext = (tx + 2 * hx) * (ty + 2 * hy)
+                    if ext * gz > _TILE2D_BUDGET_CELLS:
+                        continue
+                    cand = (tx * ty / ext, tx * ty, tx, ty, hx, hy)
+                    if best is None or cand > best:
+                        best = cand
+    if best is None:
+        return None
+    _, _, tx, ty, hx, hy = best
+    return tx, ty, hx, hy
+
+
+def surface_fused_2d(occ, inertia, f2, skip, *, steps, k, inc_filled,
+                     inc_neigh, required_hits, dec, max_inertia, div_coef,
+                     tile=None, interpret: bool = False):
+    """(x, y)-blocked fused stages 16-18 (see _surface_kernel2d): the
+    large-plane path with no host-side chunk assembly.  Single-device only
+    (the sharded path keeps materialized x-halos + y-chunks)."""
+    gx, gy, gz = occ.shape
+    h = steps + 1
+    tile = tile or _tile2d(gx, gy, gz, h)
+    if tile is None:
+        raise ValueError(f"no admissible 2D tiling for {occ.shape}, h={h}")
+    tx, ty, hx, hy = tile
+    rx, ry = tx // hx, ty // hy
+    last_x, last_y = gx // hx - 1, gy // hy - 1
+    nbx, nby = gx // tx, gy // ty
+    skip = skip.astype(jnp.uint8)
+    x0a = jnp.zeros((1,), jnp.int32)
+
+    V = pltpu.VMEM
+    cur = pl.BlockSpec((tx, ty, gz), lambda i, j: (i, j, 0),
+                       memory_space=V)
+    xl = pl.BlockSpec((hx, ty, gz),
+                      lambda i, j: (jnp.maximum(i * rx - 1, 0), j, 0),
+                      memory_space=V)
+    xr = pl.BlockSpec((hx, ty, gz),
+                      lambda i, j: (jnp.minimum((i + 1) * rx, last_x), j, 0),
+                      memory_space=V)
+    yl = pl.BlockSpec((tx, hy, gz),
+                      lambda i, j: (i, jnp.maximum(j * ry - 1, 0), 0),
+                      memory_space=V)
+    yr = pl.BlockSpec((tx, hy, gz),
+                      lambda i, j: (i, jnp.minimum((j + 1) * ry, last_y), 0),
+                      memory_space=V)
+    ll = pl.BlockSpec((hx, hy, gz),
+                      lambda i, j: (jnp.maximum(i * rx - 1, 0),
+                                    jnp.maximum(j * ry - 1, 0), 0),
+                      memory_space=V)
+    lr = pl.BlockSpec((hx, hy, gz),
+                      lambda i, j: (jnp.maximum(i * rx - 1, 0),
+                                    jnp.minimum((j + 1) * ry, last_y), 0),
+                      memory_space=V)
+    rl = pl.BlockSpec((hx, hy, gz),
+                      lambda i, j: (jnp.minimum((i + 1) * rx, last_x),
+                                    jnp.maximum(j * ry - 1, 0), 0),
+                      memory_space=V)
+    rr = pl.BlockSpec((hx, hy, gz),
+                      lambda i, j: (jnp.minimum((i + 1) * rx, last_x),
+                                    jnp.minimum((j + 1) * ry, last_y), 0),
+                      memory_space=V)
+    per_field = [cur, xl, xr, yl, yr, ll, lr, rl, rr]
+    fields = []
+    for a in (occ, inertia, f2, skip):
+        fields += [a] * 9
+    out_spec = pl.BlockSpec((tx, ty, gz), lambda i, j: (i, j, 0),
+                            memory_space=V)
+    kern = functools.partial(
+        _surface_kernel2d, hx=hx, hy=hy, tx=tx, ty=ty,
+        shape=(gx, gy, gz), steps=steps, k=float(k),
+        inc_filled=int(inc_filled), inc_neigh=int(inc_neigh),
+        required_hits=int(required_hits), dec=int(dec),
+        max_inertia=int(max_inertia), div_coef=float(div_coef))
+    return pl.pallas_call(
+        kern,
+        grid=(nbx, nby),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + per_field * 4,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), jnp.int32),
+                   jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
+                   jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(x0a, *fields)
 
 
 def _slab_tx(gx: int, gy: int, gz: int, h: int, tx: int) -> int:
@@ -257,6 +451,7 @@ def surface_fused_auto(occ, inertia, f2, skip, *, steps, k, inc_filled,
                        tx: int = 16, halos=None, x0=None,
                        global_gx: int | None = None,
                        max_plane: int = MAX_PLANE,
+                       use_2d: bool = True,
                        interpret: bool = False):
     """surface_fused_pallas for ANY plane size: grids whose (gy, gz) plane
     fits the slab VMEM budget run the kernel directly; larger planes (the
@@ -277,6 +472,17 @@ def surface_fused_auto(occ, inertia, f2, skip, *, steps, k, inc_filled,
     if gy * gz <= max_plane:
         return surface_fused_pallas(occ, inertia, f2, skip, halos=halos,
                                     **kw)
+    # single-device large plane: the (x, y)-blocked direct-read kernel, no
+    # host-side chunk assembly (bitwise-equal to the y-chunk path, pinned
+    # by tests/test_surface_fused.py)
+    if (use_2d and (halos is None or all(hl is None for hl in halos))
+            and x0 is None and global_gx is None
+            and _tile2d(gx, gy, gz, h) is not None):
+        return surface_fused_2d(
+            occ, inertia, f2, skip, steps=steps, k=k,
+            inc_filled=inc_filled, inc_neigh=inc_neigh,
+            required_hits=required_hits, dec=dec, max_inertia=max_inertia,
+            div_coef=div_coef, interpret=interpret)
     # chunk width: keep the extended plane under the budget, sublane-aligned
     by = max(8, ((max_plane // gz - 2 * h) // 8) * 8)
     halos = halos or (None,) * 4
