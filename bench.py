@@ -14,7 +14,10 @@ fetches chunk i-1's scalar ``state.step`` — the round trip overlaps chunk
 i's compute, while the un-synced dispatch depth stays bounded by
 2*SYNC_EVERY (= 10 at the default, the judge-validated safe depth).  The
 final fetch lands inside the timed region, so the reported steps/s is
-end-to-end honest.  A transient backend error aborts the run, which is then
+end-to-end honest.  The first timed chunk has no prior fetch to overlap
+and eats one bare ~30-40 ms sync round trip; the default window is 240
+steps so that fixed cost stays <1% of the measurement instead of the ~3%
+it was at 60 steps (per-chunk rates are printed on stderr either way).  A transient backend error aborts the run, which is then
 retried once from scratch with the failure recorded on stderr.
 
 Env overrides: TPU_FLUID_BENCH_GRID, TPU_FLUID_BENCH_PARTICLES,
@@ -76,7 +79,9 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
     state = run(state if ndev > 1 else initial_state(cfg))
     for _ in range(max(0, sync_every - 1)):
         state = run(state)
-    np.asarray(jax.device_get(state.step))
+    # warm the tiny jnp.copy token program too: its first-use remote
+    # compile+load (~350 ms) otherwise lands inside the first timed chunk
+    np.asarray(jax.device_get(jnp.copy(state.step)))
 
     done = 0
     chunk_sps = []
@@ -109,7 +114,7 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
 def main() -> None:
     n = int(os.environ.get("TPU_FLUID_BENCH_GRID", "128"))
     particles = int(os.environ.get("TPU_FLUID_BENCH_PARTICLES", "1000000"))
-    steps = int(os.environ.get("TPU_FLUID_BENCH_STEPS", "60"))
+    steps = int(os.environ.get("TPU_FLUID_BENCH_STEPS", "240"))
     sync_every = int(os.environ.get("TPU_FLUID_BENCH_SYNC_EVERY", "5"))
 
     try:
