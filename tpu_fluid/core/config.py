@@ -243,6 +243,16 @@ class FluidConfig:
         return tuple(s * r for s in self.grid_size)
 
     @property
+    def inertia_dtype(self):
+        """HBM dtype of the detailed inertia field.  Stored values are
+        clamped to [0, max_inertia] every step (densities_inertia.comp:62),
+        so uint8 holds them exactly whenever max_inertia <= 255 — all
+        arithmetic happens in int32 regardless; only the HBM residency
+        narrows (read+write of a detailed-grid field per step: ~1 GB/step
+        at the 256^3 config).  Values are identical either way."""
+        return jnp.uint8 if 0 < self.max_inertia <= 255 else jnp.int32
+
+    @property
     def surface_cells(self) -> Tuple[int, int, int]:
         """Marching-cubes cell grid: detailed size - 1 per dim
         (simulation_constants.h:139)."""

@@ -13,7 +13,8 @@ Persistent arrays (matching the reference's cross-frame state):
                                    face in dim i (VELOCITIES_1,
                                    fluid_flow_sections.h:36)
   cell_types  (X, Y, Z)  uint8  — CellType codes (CELL_TYPES, :40)
-  inertia     (DX,DY,DZ) int32  — detailed-density temporal inertia,
+  inertia     (DX,DY,DZ) uint8  — detailed-density temporal inertia
+                (int32 when max_inertia > 255 — cfg.inertia_dtype),
                                    persistent (DETAILED_DENSITIES_INERTIA_IMG,
                                    :53)
   float_dens_1/2 (DX,DY,DZ) f32 — signed density ping-pong pair; both persist
@@ -43,7 +44,7 @@ from tpu_fluid.core.types import CellType
 class FluidState(NamedTuple):
     velocity: jax.Array      # (3, X, Y, Z) float32
     cell_types: jax.Array    # (X, Y, Z)    uint8
-    inertia: jax.Array       # detailed grid, int32
+    inertia: jax.Array       # detailed grid, cfg.inertia_dtype (u8/i32)
     float_dens_1: jax.Array  # detailed grid, float32
     float_dens_2: jax.Array  # detailed grid, float32
     positions: jax.Array     # (P, 3) float32
@@ -128,7 +129,7 @@ def _initial_state(cfg: FluidConfig) -> FluidState:
     return FluidState(
         velocity=jnp.zeros((3, gx, gy, gz), dtype=dt),
         cell_types=jnp.full((gx, gy, gz), CellType.INACTIVE, dtype=jnp.uint8),
-        inertia=jnp.zeros((dx, dy, dz), dtype=jnp.int32),
+        inertia=jnp.zeros((dx, dy, dz), dtype=cfg.inertia_dtype),
         float_dens_1=jnp.zeros((dx, dy, dz), dtype=dt),
         float_dens_2=jnp.zeros((dx, dy, dz), dtype=dt),
         positions=pos,

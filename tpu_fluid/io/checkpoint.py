@@ -55,7 +55,13 @@ def load_checkpoint(path: str):
         # fields added after a checkpoint was written load as their initial
         # value (additive format evolution: `dropped` arrived in round 4)
         defaults = {"dropped": np.zeros((), np.int32)}
-        leaves = [jax.device_put(data[name] if name in data.files
-                                 else defaults[name])
-                  for name in FluidState._fields]
+        # inertia narrowed from int32 to cfg.inertia_dtype in round 4;
+        # values are clamped to max_inertia, so the cast is lossless
+        casts = {"inertia": cfg.inertia_dtype}
+        leaves = [jax.device_put(
+            np.asarray(data[name]).astype(casts[name])
+            if name in data.files and name in casts
+            else data[name] if name in data.files
+            else defaults[name])
+            for name in FluidState._fields]
     return FluidState(*leaves), cfg

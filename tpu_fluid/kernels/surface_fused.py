@@ -152,7 +152,7 @@ def _surface_kernel(x0_ref, occ_c, occ_l, occ_r, in_c, in_l, in_r,
         required_hits=required_hits, dec=dec, max_inertia=max_inertia,
         div_coef=div_coef)
 
-    inertia_out[...] = inertia[hw:hw + tx]
+    inertia_out[...] = inertia[hw:hw + tx].astype(inertia_out.dtype)
     f1_out[...] = a[hw:hw + tx]
     f2_out[...] = b[hw:hw + tx]
 
@@ -215,7 +215,8 @@ def _surface_kernel2d(x0_ref, occ_c, occ_xl, occ_xr, occ_yl, occ_yr,
         required_hits=required_hits, dec=dec, max_inertia=max_inertia,
         div_coef=div_coef)
 
-    inertia_out[...] = inertia[hx:hx + tx, hy:hy + ty]
+    inertia_out[...] = inertia[hx:hx + tx,
+                               hy:hy + ty].astype(inertia_out.dtype)
     f1_out[...] = a[hx:hx + tx, hy:hy + ty]
     f2_out[...] = b[hx:hx + tx, hy:hy + ty]
 
@@ -327,7 +328,7 @@ def surface_fused_2d(occ, inertia, f2, skip, *, steps, k, inc_filled,
         grid=(nbx, nby),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + per_field * 4,
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), inertia.dtype),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
@@ -361,7 +362,8 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
                          interpret: bool = False):
     """Fused stages 16-18 on a detailed grid (or a local x-slab of one).
 
-    occ: (DX,DY,DZ) uint8 occupancy; inertia: int32; f2: float32 (stale
+    occ: (DX,DY,DZ) uint8 occupancy; inertia: uint8 or int32 (output
+    keeps the input dtype); f2: float32 (stale
     ping-pong buffer); skip: uint8 solid-parent mask.
     Returns (inertia', f1', f2').
 
@@ -389,7 +391,7 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
     common = dict(
         grid=(nb,),
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((gx, gy, gz), inertia.dtype),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
                    jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32)),
         compiler_params=pltpu.CompilerParams(

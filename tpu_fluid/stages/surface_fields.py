@@ -23,6 +23,8 @@ def update_inertia(detailed_densities: jnp.ndarray, inertia: jnp.ndarray,
     this frame, decrease by 1 toward 0; clamp to max_inertia.  Out-of-grid
     neighbor densities read as 0 (not filled)."""
     filled = detailed_densities > 0
+    dtype = inertia.dtype              # u8 storage computes in i32 exactly
+    inertia = inertia.astype(jnp.int32)
     inc = jnp.where(filled, cfg.inertia_increase_filled, 0)
 
     hits = jnp.zeros(inertia.shape, dtype=jnp.int32)
@@ -34,7 +36,7 @@ def update_inertia(detailed_densities: jnp.ndarray, inertia: jnp.ndarray,
     increased = inertia + inc
     decreased = jnp.maximum(inertia - cfg.inertia_decrease, 0)
     new = jnp.where(inc == 0, decreased, increased)
-    return jnp.minimum(new, cfg.max_inertia)
+    return jnp.minimum(new, cfg.max_inertia).astype(dtype)
 
 
 def float_densities(inertia: jnp.ndarray, cfg: FluidConfig) -> jnp.ndarray:
