@@ -63,6 +63,22 @@ def _zshift(a, d, axis, size):
     return jnp.pad(a, pads)[tuple(idx)]
 
 
+def _decode_rd(rd):
+    """Widen a u8 aii-code into the f32 reciprocal diagonal: rd =
+    where(code > 0, 1 / max(code, 1), 0) — the exact formula the XLA
+    construction applies to its f32 aii (stages/pressure.py), so decoded
+    values are bitwise identical.  rd ships as the 7-valued code ({0} and
+    aii in 1..6) to quarter its HBM stream: at 256^3 that is ~16 MB/pass
+    of the solve's ~90 MB (and the sharded variant's rd halo ppermutes
+    shrink 4x the same way).  f32 inputs pass through untouched (tests and
+    the volume projection still hand the kernel prebuilt f32 fields)."""
+    if rd.dtype == jnp.uint8:
+        # via i32: Mosaic has no direct u8 -> f32 cast
+        codef = rd.astype(jnp.int32).astype(jnp.float32)
+        rd = jnp.where(codef > 0, 1.0 / jnp.maximum(codef, 1.0), 0.0)
+    return rd
+
+
 def _sweeps(q, rd, c2, k, nrows, gy, gz):
     # Select-free sweep: non-updating cells have rd == 0, so
     # q' = neigh*0 + c2e keeps them at their input value when c2e is
@@ -102,7 +118,7 @@ def _jacobi_kernel(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
         return jnp.concatenate([l[0], cur[...], r[0]], axis=0)
 
     q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
-    rd = asm(rd_l, rd_cur, rd_r)
+    rd = _decode_rd(asm(rd_l, rd_cur, rd_r))
     c2 = asm(c2_l, c2_cur, c2_r)
     # k == h: the trapezoid window of _sweeps lands exactly on the
     # (h, h + tx) output rows
@@ -126,7 +142,7 @@ def _jacobi_kernel_direct(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
         return jnp.concatenate([lv, cur[...], rv], axis=0)
 
     q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
-    rd = asm(rd_l, rd_cur, rd_r)
+    rd = _decode_rd(asm(rd_l, rd_cur, rd_r))
     c2 = asm(c2_l, c2_cur, c2_r)
     out_ref[...] = _sweeps(q, rd, c2, k, tx + 2 * h, gy, gz)  # k == h
 
@@ -138,7 +154,7 @@ def _whole_grid_kernel(q_ref, rd_ref, c2_ref, out_ref, *, iters, shape):
     vs 3.51 ms (K-slab) per 199-sweep 128^3 solve, bitwise identical."""
     gx, gy, gz = shape
     q = q_ref[...]
-    rd = rd_ref[...]
+    rd = _decode_rd(rd_ref[...])
     # select-free form, see _sweeps: non-updating cells (rd == 0) are held
     # by the folded constant, no per-sweep where
     c2e = jnp.where(rd > 0.0, c2_ref[...], q)

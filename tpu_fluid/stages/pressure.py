@@ -123,7 +123,10 @@ def poisson_solve(types: jnp.ndarray, rhs: jnp.ndarray, cfg: FluidConfig,
         # pressure (the kernel never sees the water mask — kernels/jacobi.py)
         from tpu_fluid.kernels.jacobi import (jacobi_sweeps_pallas,
                                               jacobi_sweeps_sharded)
-        rd = jnp.where(update_mask, 1.0 / denom, 0.0)
+        # rd ships as the u8 aii-code (7 distinct values); the kernel
+        # decodes it to the identical f32 field (kernels/jacobi._decode_rd)
+        # at 1/4 the HBM stream
+        rd = jnp.where(update_mask, aii, 0.0).astype(jnp.uint8)
         c2 = const / denom
         q0 = jnp.where(water, p0, 0.0)
         if axis_name is not None:
