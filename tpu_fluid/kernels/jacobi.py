@@ -94,14 +94,22 @@ def _sweeps(q, rd, c2, k, nrows, gy, gz):
     # from k*(tx+2k) to k*tx + k(k-1) row-sweeps (1.5x -> 1.19x
     # amplification at k=4, tx=16).  Bitwise identical: the skipped rows'
     # values were computed and discarded before.
-    c2e = jnp.where(rd > 0.0, c2, q)
+    # rd may arrive as the u8 aii-code (see _decode_rd): fold and decode
+    # lazily per sweep so the f32 reciprocal never exists as a full
+    # (tx+2k)-row VMEM temp — only the u8 code is held across sweeps.
+    code = rd if rd.dtype == jnp.uint8 else None
+    # u8 vector compares are unsupported by Mosaic ("Target does not
+    # support this comparison") — widen to i32 for the fold's mask
+    c2e = jnp.where((code.astype(jnp.int32) > 0) if code is not None
+                    else (rd > 0.0), c2, q)
     for s in range(1, k + 1):
         lo, hi = s, nrows - s
+        rds = _decode_rd(code[lo:hi]) if code is not None else rd[lo:hi]
         mid = q[1:-1]
-        q = rd[lo:hi] * (q[2:] + q[:-2]
-                         + _zshift(mid, 1, 1, gy) + _zshift(mid, -1, 1, gy)
-                         + _zshift(mid, 1, 2, gz) + _zshift(mid, -1, 2, gz)
-                         ) + c2e[lo:hi]
+        q = rds * (q[2:] + q[:-2]
+                   + _zshift(mid, 1, 1, gy) + _zshift(mid, -1, 1, gy)
+                   + _zshift(mid, 1, 2, gz) + _zshift(mid, -1, 2, gz)
+                   ) + c2e[lo:hi]
     return q
 
 
@@ -118,7 +126,7 @@ def _jacobi_kernel(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
         return jnp.concatenate([l[0], cur[...], r[0]], axis=0)
 
     q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
-    rd = _decode_rd(asm(rd_l, rd_cur, rd_r))
+    rd = asm(rd_l, rd_cur, rd_r)
     c2 = asm(c2_l, c2_cur, c2_r)
     # k == h: the trapezoid window of _sweeps lands exactly on the
     # (h, h + tx) output rows
@@ -142,7 +150,7 @@ def _jacobi_kernel_direct(q_cur, q_l, q_r, rd_cur, rd_l, rd_r,
         return jnp.concatenate([lv, cur[...], rv], axis=0)
 
     q = asm(q_l, q_cur, q_r)                  # (tx + 2h, gy, gz)
-    rd = _decode_rd(asm(rd_l, rd_cur, rd_r))
+    rd = asm(rd_l, rd_cur, rd_r)
     c2 = asm(c2_l, c2_cur, c2_r)
     out_ref[...] = _sweeps(q, rd, c2, k, tx + 2 * h, gy, gz)  # k == h
 
