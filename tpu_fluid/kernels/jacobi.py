@@ -197,7 +197,8 @@ def _whole_grid_jacobi(q, rd, c2, n_iters, interpret):
     )(q, rd, c2)
 
 
-def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int):
+def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int,
+                rd_itemsize: int = 4):
     """Pick (k, tx) fitting the K-sweep working set in VMEM.
 
     VMEM model (f32 row-equivalents of the (gy, gz) plane): double-buffered
@@ -205,14 +206,23 @@ def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int):
     temps ~3*(tx+2k) -> 14*tx + 28*k plane-rows, against a ~110 MB
     empirical compile budget.  Shrink k before tx: wide slabs with a
     narrow halo amortize best (256^3 sweep, 199 sweeps: (4,16) 43.0 ms <
-    (8,16) 48.8 < (4,8) 57.6 < (2,32) 65.3; (>=4,32) exceeds VMEM)."""
-    budget_rows = (110 * 1024 * 1024 // 4) // (gy * gz)
+    (8,16) 48.8 < (4,8) 57.6 < (2,32) 65.3; f32 (>=4,32) exceeds VMEM).
+
+    When rd ships as the u8 aii-code (`_decode_rd`) its blocks + assembly
+    are 4x smaller, which admits one-wider slabs: rd's ~2.25*(tx+2k) rows
+    come off the model and the empirical compile envelope re-measures at
+    ~120 MB — (4,32) compiles and wins at 256^3 (0.444 vs 0.474 ms/pass
+    against (4,16); (8,32)/(4,64) still exceed VMEM, k=2/k=8 are slower)."""
+    u8 = rd_itemsize == 1
+    budget_rows = ((120 if u8 else 110) * 1024 * 1024 // 4) // (gy * gz)
+    rd_save = 2.25 if u8 else 0.0
     tx = min(tx, gx)
     k = min(k, tx)
-    while 14 * tx + 28 * k > budget_rows:
+    while 14 * tx + 28 * k - rd_save * (tx + 2 * k) > budget_rows:
         if k > 1 and k >= tx // 2:
             k //= 2
-        elif k > 1 and 14 * tx + 28 * (k // 2) <= budget_rows:
+        elif k > 1 and (14 * tx + 28 * (k // 2)
+                        - rd_save * (tx + k) <= budget_rows):
             k //= 2
         elif tx > 1:
             tx //= 2
@@ -316,7 +326,9 @@ def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
         whole_grid = gx * gy * gz <= _WHOLE_GRID_MAX_CELLS
     if whole_grid:
         return _whole_grid_jacobi(q, rd, c2, n_iters, interpret)
-    k, tx = _slab_sizes(gx, gy, gz, k, tx)
+    if rd.dtype == jnp.uint8 and (k, tx) == (8, 16):
+        k, tx = 4, 32       # measured best for the u8 path (_slab_sizes)
+    k, tx = _slab_sizes(gx, gy, gz, k, tx, rd.dtype.itemsize)
     shape = (gx, gy, gz)
     nb = gx // tx
 
@@ -361,7 +373,9 @@ def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
     Domain-end shards receive ppermute's zeros = the zero-pad convention.
     """
     lx, gy, gz = q.shape
-    k, tx = _slab_sizes(lx, gy, gz, k, tx)
+    if rd.dtype == jnp.uint8 and (k, tx) == (8, 16):
+        k, tx = 4, 32       # measured best for the u8 path (_slab_sizes)
+    k, tx = _slab_sizes(lx, gy, gz, k, tx, rd.dtype.itemsize)
     n = jax.lax.axis_size(axis_name)
     up = [(j, j + 1) for j in range(n - 1)]      # send +x
     down = [(j + 1, j) for j in range(n - 1)]    # send -x
