@@ -17,11 +17,15 @@ final fetch lands inside the timed region, so the reported steps/s is
 end-to-end honest.  The first timed chunk has no prior fetch to overlap
 and eats one bare ~30-40 ms sync round trip; the default window is 240
 steps so that fixed cost stays <1% of the measurement instead of the ~3%
-it was at 60 steps (per-chunk rates are printed on stderr either way).  A transient backend error aborts the run, which is then
-retried once from scratch with the failure recorded on stderr.
+it was at 60 steps (per-chunk rates are printed on stderr either way).  A
+transient backend error aborts the run, which is retried from scratch with
+exponential backoff (the axon tunnel has measured multi-minute UNAVAILABLE
+windows; each failure is recorded on stderr).
 
 Env overrides: TPU_FLUID_BENCH_GRID, TPU_FLUID_BENCH_PARTICLES,
-TPU_FLUID_BENCH_STEPS, TPU_FLUID_BENCH_SYNC_EVERY.
+TPU_FLUID_BENCH_STEPS, TPU_FLUID_BENCH_SYNC_EVERY,
+TPU_FLUID_BENCH_ATTEMPTS (default 4), TPU_FLUID_BENCH_BACKOFF (initial
+retry wait, seconds; doubles per attempt).
 """
 
 from __future__ import annotations
@@ -117,12 +121,24 @@ def main() -> None:
     steps = int(os.environ.get("TPU_FLUID_BENCH_STEPS", "240"))
     sync_every = int(os.environ.get("TPU_FLUID_BENCH_SYNC_EVERY", "5"))
 
+    attempts = int(os.environ.get("TPU_FLUID_BENCH_ATTEMPTS", "4"))
     try:
         ndev, sps, chunk_sps = _run_once(n, particles, steps, sync_every)
-    except Exception as e:  # transient backend error: record + retry once
-        print(f"bench: first attempt failed ({type(e).__name__}: {e}); "
-              f"retrying once", file=sys.stderr)
-        ndev, sps, chunk_sps = _run_once(n, particles, steps, sync_every)
+    except Exception as e:  # transient backend/tunnel error: record + retry
+        if attempts <= 1:
+            raise
+        wait = int(os.environ.get("TPU_FLUID_BENCH_BACKOFF", "30"))
+        print(f"bench: attempt failed ({type(e).__name__}: {e}); "
+              f"{attempts - 1} attempt(s) left, retrying in {wait}s",
+              file=sys.stderr)
+        time.sleep(wait)
+        # jax caches a failed backend init for the process lifetime, so an
+        # UNAVAILABLE tunnel can never recover in-process: hand the
+        # remaining attempts to a fresh interpreter (doubled backoff)
+        env = dict(os.environ,
+                   TPU_FLUID_BENCH_ATTEMPTS=str(attempts - 1),
+                   TPU_FLUID_BENCH_BACKOFF=str(wait * 2))
+        os.execve(sys.executable, [sys.executable, __file__], env)
 
     print(json.dumps({
         "metric": f"sim steps/sec @ {n}^3 grid, {particles} particles, "
