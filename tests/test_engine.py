@@ -49,6 +49,34 @@ def test_run_paused_headless_returns_budget_unconsumed(capsys):
     assert int(s.state.step) == 2
 
 
+def test_run_pause_landing_mid_flight_does_not_burn_budget(capsys,
+                                                           monkeypatch):
+    """A pause can land between run()'s paused check and the stepping call
+    (the live viewer flips `paused` from its server thread).  run() must
+    advance its progress counter by the steps that actually RAN, not the
+    requested chunk — otherwise the paused remainder is silently counted
+    as simulated."""
+    import tpu_fluid.engine as engine_mod
+
+    s = Simulation(cfg=CFG)
+    s.dispatch_chunk = 1          # re-check pause after every single step
+    real = engine_mod.jit_step
+
+    def pausing_step(state, cfg, scene):
+        out = real(state, cfg, scene)
+        s.pause()                 # lands mid-flight, after step #1
+        return out
+
+    monkeypatch.setattr(engine_mod, "jit_step", pausing_step)
+    s.run(5, save_frames=False)   # headless: must return, not spin
+    assert int(s.state.step) == 1             # exactly one step ran
+    assert "4 steps unconsumed" in capsys.readouterr().out
+    monkeypatch.setattr(engine_mod, "jit_step", real)
+    s.resume()
+    s.run(2, save_frames=False)
+    assert int(s.state.step) == 3
+
+
 def test_run_paused_with_viewer_keeps_rendering_without_stepping():
     """Pause with a live viewer keeps pushing frames (reference pause
     semantics) and consumes no step budget; resuming completes the run."""

@@ -75,11 +75,21 @@ class Simulation:
         skipped entirely.  The sync token is a COPY of the step counter:
         jit_step donates its input state, which would invalidate
         `state.step` itself at the next dispatch."""
-        if self.paused or n <= 0:
-            return self
+        self._step_counted(n)
+        return self
+
+    def _step_counted(self, n: int) -> int:
+        """step(), returning how many steps actually ran.
+
+        Pause is re-checked at every chunk boundary (not just entry): the
+        live viewer flips `paused` from its server thread, so a caller
+        that advances its own progress counter by the REQUESTED count
+        (run() used to) would silently mark steps as simulated when a
+        pause landed between its check and ours.  run() advances by this
+        return value instead."""
         import jax.numpy as jnp
         done = 0
-        while done < n:
+        while done < n and not self.paused:
             k = min(self.dispatch_chunk, n - done)
             for _ in range(k):
                 self.state = jit_step(self.state, self.cfg, self.scene)
@@ -91,7 +101,7 @@ class Simulation:
             # past the ~10-dispatch hang threshold this bound exists for.
             self._pending.append(jnp.copy(self.state.step))
             self._drain(self.max_pending)
-        return self
+        return done
 
     def _drain(self, limit: int = 0) -> None:
         while len(self._pending) > limit:
@@ -236,8 +246,7 @@ class Simulation:
                             mesh_every):
                 if cadence:
                     chunk = min(chunk, cadence - (done % cadence) or cadence)
-            self.step(chunk)
-            done += chunk
+            done += self._step_counted(chunk)
             if log_every and done % log_every == 0:
                 print(format_diagnostics(self.diagnostics()), flush=True)
             if frame_every and done % frame_every == 0:

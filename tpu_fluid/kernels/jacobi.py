@@ -70,8 +70,10 @@ def _decode_rd(rd):
     values are bitwise identical.  rd ships as the 7-valued code ({0} and
     aii in 1..6) to quarter its HBM stream: at 256^3 that is ~16 MB/pass
     of the solve's ~90 MB (and the sharded variant's rd halo ppermutes
-    shrink 4x the same way).  f32 inputs pass through untouched (tests and
-    the volume projection still hand the kernel prebuilt f32 fields)."""
+    shrink 4x the same way).  BOTH production Poisson solves ship u8: the
+    pressure solve and the volume projection go through
+    stages/pressure.poisson_solve, which encodes rd there.  f32 inputs
+    pass through untouched (some tests hand prebuilt f32 fields)."""
     if rd.dtype == jnp.uint8:
         # via i32: Mosaic has no direct u8 -> f32 cast
         codef = rd.astype(jnp.int32).astype(jnp.float32)
@@ -197,9 +199,13 @@ def _whole_grid_jacobi(q, rd, c2, n_iters, interpret):
     )(q, rd, c2)
 
 
-def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int,
+def _slab_sizes(gx: int, gy: int, gz: int, k: int | None, tx: int | None,
                 rd_itemsize: int = 4):
     """Pick (k, tx) fitting the K-sweep working set in VMEM.
+
+    k/tx None means "measured-best default": (8, 16) for f32 rd, (4, 32)
+    for the u8 aii-code (see the last paragraph).  Explicit values are
+    honored, subject only to the VMEM budget loop below.
 
     VMEM model (f32 row-equivalents of the (gy, gz) plane): double-buffered
     blocks 2*(3*tx + 6*k) + out 2*tx, assembled q/rd/c2 3*(tx+2k), loop
@@ -214,6 +220,10 @@ def _slab_sizes(gx: int, gy: int, gz: int, k: int, tx: int,
     ~120 MB — (4,32) compiles and wins at 256^3 (0.444 vs 0.474 ms/pass
     against (4,16); (8,32)/(4,64) still exceed VMEM, k=2/k=8 are slower)."""
     u8 = rd_itemsize == 1
+    if k is None:
+        k = 4 if u8 else 8
+    if tx is None:
+        tx = 32 if u8 else 16
     budget_rows = ((120 if u8 else 110) * 1024 * 1024 // 4) // (gy * gz)
     rd_save = 2.25 if u8 else 0.0
     tx = min(tx, gx)
@@ -312,7 +322,7 @@ def _one_pass(q, rd_in, c2_in, kk, tx, shape, interpret, edges_q=None,
 
 def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
                          n_iters: int,
-                         k: int = 8, tx: int = 16,
+                         k: int | None = None, tx: int | None = None,
                          interpret: bool = False,
                          whole_grid: bool | None = None) -> jnp.ndarray:
     """Run n_iters Jacobi sweeps on a full (single-device) grid.
@@ -326,8 +336,6 @@ def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
         whole_grid = gx * gy * gz <= _WHOLE_GRID_MAX_CELLS
     if whole_grid:
         return _whole_grid_jacobi(q, rd, c2, n_iters, interpret)
-    if rd.dtype == jnp.uint8 and (k, tx) == (8, 16):
-        k, tx = 4, 32       # measured best for the u8 path (_slab_sizes)
     k, tx = _slab_sizes(gx, gy, gz, k, tx, rd.dtype.itemsize)
     shape = (gx, gy, gz)
     nb = gx // tx
@@ -361,7 +369,7 @@ def jacobi_sweeps_pallas(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
 
 def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
                           n_iters: int, axis_name: str,
-                          k: int = 8, tx: int = 16,
+                          k: int | None = None, tx: int | None = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Sharded variant, called INSIDE shard_map on local x-slab blocks.
 
@@ -373,8 +381,6 @@ def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
     Domain-end shards receive ppermute's zeros = the zero-pad convention.
     """
     lx, gy, gz = q.shape
-    if rd.dtype == jnp.uint8 and (k, tx) == (8, 16):
-        k, tx = 4, 32       # measured best for the u8 path (_slab_sizes)
     k, tx = _slab_sizes(lx, gy, gz, k, tx, rd.dtype.itemsize)
     n = jax.lax.axis_size(axis_name)
     up = [(j, j + 1) for j in range(n - 1)]      # send +x

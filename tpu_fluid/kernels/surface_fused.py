@@ -478,13 +478,15 @@ def surface_fused_auto(occ, inertia, f2, skip, *, steps, k, inc_filled,
     # host-side chunk assembly (bitwise-equal to the y-chunk path, pinned
     # by tests/test_surface_fused.py)
     if (use_2d and (halos is None or all(hl is None for hl in halos))
-            and x0 is None and global_gx is None
-            and _tile2d(gx, gy, gz, h) is not None):
-        return surface_fused_2d(
-            occ, inertia, f2, skip, steps=steps, k=k,
-            inc_filled=inc_filled, inc_neigh=inc_neigh,
-            required_hits=required_hits, dec=dec, max_inertia=max_inertia,
-            div_coef=div_coef, interpret=interpret)
+            and x0 is None and global_gx is None):
+        tile = _tile2d(gx, gy, gz, h)
+        if tile is not None:
+            return surface_fused_2d(
+                occ, inertia, f2, skip, steps=steps, k=k,
+                inc_filled=inc_filled, inc_neigh=inc_neigh,
+                required_hits=required_hits, dec=dec,
+                max_inertia=max_inertia, div_coef=div_coef, tile=tile,
+                interpret=interpret)
     # chunk width: keep the extended plane under the budget, sublane-aligned
     by = max(8, ((max_plane // gz - 2 * h) // 8) * 8)
     halos = halos or (None,) * 4

@@ -71,10 +71,6 @@ def migrate_capacity(slots: int, cfg: FluidConfig) -> int:
     return max(128, -(-int(slots * cfg.particle_migrate_frac) // 128) * 128)
 
 
-def migrate_slots(cfg: FluidConfig, n: int) -> int:
-    return migrate_capacity(domain_slots(cfg, n), cfg)
-
-
 def domain_shard_state(state: FluidState, mesh, cfg: FluidConfig
                        ) -> FluidState:
     """Repack an (unsharded) state's particles into per-shard slot segments
