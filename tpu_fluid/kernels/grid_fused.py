@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_fluid.kernels.halo import clamped_halo_maps
 from tpu_fluid.kernels.jacobi import _zshift
 
 _W = 2   # CellType.WATER
@@ -346,32 +347,26 @@ def _call(kern, inputs, out_shapes, tx, gy, gz, gx, interpret, h=None):
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     ops = [x0a]
     if h is not None:
-        r0 = tx // h                 # index maps count in h-row units
         nb = gx // tx
-        last = nb * r0 - 1
+        # index maps count in h-row units
+        lo, hi = clamped_halo_maps(tx // h, nb * (tx // h) - 1)
         for a in arrays:
             if a.ndim == 4:
                 cur = pl.BlockSpec((3, tx, gy, gz), lambda i: (0, i, 0, 0),
                                    memory_space=pltpu.VMEM)
-                lsp = pl.BlockSpec(
-                    (3, h, gy, gz),
-                    lambda i: (0, jnp.maximum(i * r0 - 1, 0), 0, 0),
-                    memory_space=pltpu.VMEM)
-                rsp = pl.BlockSpec(
-                    (3, h, gy, gz),
-                    lambda i: (0, jnp.minimum((i + 1) * r0, last), 0, 0),
-                    memory_space=pltpu.VMEM)
+                lsp = pl.BlockSpec((3, h, gy, gz),
+                                   lambda i: (0, lo(i), 0, 0),
+                                   memory_space=pltpu.VMEM)
+                rsp = pl.BlockSpec((3, h, gy, gz),
+                                   lambda i: (0, hi(i), 0, 0),
+                                   memory_space=pltpu.VMEM)
             else:
                 cur = pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
-                lsp = pl.BlockSpec(
-                    (h, gy, gz),
-                    lambda i: (jnp.maximum(i * r0 - 1, 0), 0, 0),
-                    memory_space=pltpu.VMEM)
-                rsp = pl.BlockSpec(
-                    (h, gy, gz),
-                    lambda i: (jnp.minimum((i + 1) * r0, last), 0, 0),
-                    memory_space=pltpu.VMEM)
+                lsp = pl.BlockSpec((h, gy, gz), lambda i: (lo(i), 0, 0),
+                                   memory_space=pltpu.VMEM)
+                rsp = pl.BlockSpec((h, gy, gz), lambda i: (hi(i), 0, 0),
+                                   memory_space=pltpu.VMEM)
             # order (l, cur, r): the kernels' (a_p, a_c, a_n) slots become
             # (left halo, current, right halo) — asm's middle is cur in
             # both modes

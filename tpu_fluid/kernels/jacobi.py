@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_fluid.kernels.halo import clamped_halo_maps
+
 
 def _zshift(a, d, axis, size):
     """out[i] = a[i+d] along axis, zero-padded, for VMEM values."""
@@ -276,16 +278,11 @@ def _one_pass(q, rd_in, c2_in, kk, tx, shape, interpret, edges_q=None,
     direct = (edges_q is None and edges_rc == (None, None)
               and not isinstance(rd_in, tuple) and tx % kk == 0 and nb > 0)
     if direct:
-        r0 = tx // kk
-        last = nb * r0 - 1
-        lspec = pl.BlockSpec(
-            (kk, gy, gz),
-            lambda i: (jnp.maximum(i * r0 - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM)
-        rspec = pl.BlockSpec(
-            (kk, gy, gz),
-            lambda i: (jnp.minimum((i + 1) * r0, last), 0, 0),
-            memory_space=pltpu.VMEM)
+        lo, hi = clamped_halo_maps(tx // kk, nb * (tx // kk) - 1)
+        lspec = pl.BlockSpec((kk, gy, gz), lambda i: (lo(i), 0, 0),
+                             memory_space=pltpu.VMEM)
+        rspec = pl.BlockSpec((kk, gy, gz), lambda i: (hi(i), 0, 0),
+                             memory_space=pltpu.VMEM)
         kern = functools.partial(_jacobi_kernel_direct, k=kk, h=kk, tx=tx,
                                  shape=shape, nb=nb)
         return pl.pallas_call(

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_fluid.kernels.halo import clamped_halo_maps
 from tpu_fluid.ops.packed_sampler import LANES, _OTHER, _lane
 
 
@@ -94,14 +95,15 @@ def build_packed_table_pallas(vel: jnp.ndarray,
 
 def _xrow_specs(gx, gy, gz):
     """(prev, cur, next) single-x-row block specs with CLAMPED index maps —
-    the clamp replicates the border row, exactly mode="edge"."""
-    prev = pl.BlockSpec((3, 1, gy, gz),
-                        lambda i: (0, jnp.maximum(i - 1, 0), 0, 0),
+    the clamp replicates the border row, exactly mode="edge" (the
+    degenerate r0=1 case of kernels/halo.clamped_halo_maps, with no
+    in-kernel masking: the replication IS the wanted convention)."""
+    lo, hi = clamped_halo_maps(1, gx - 1)
+    prev = pl.BlockSpec((3, 1, gy, gz), lambda i: (0, lo(i), 0, 0),
                         memory_space=pltpu.VMEM)
     cur = pl.BlockSpec((3, 1, gy, gz), lambda i: (0, i, 0, 0),
                        memory_space=pltpu.VMEM)
-    nxt = pl.BlockSpec((3, 1, gy, gz),
-                       lambda i: (0, jnp.minimum(i + 1, gx - 1), 0, 0),
+    nxt = pl.BlockSpec((3, 1, gy, gz), lambda i: (0, hi(i), 0, 0),
                        memory_space=pltpu.VMEM)
     return prev, cur, nxt
 

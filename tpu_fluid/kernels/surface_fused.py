@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_fluid.kernels.halo import clamped_halo_maps
 from tpu_fluid.kernels.jacobi import _halo_blocks, _zshift
 
 
@@ -281,35 +282,25 @@ def surface_fused_2d(occ, inertia, f2, skip, *, steps, k, inc_filled,
     x0a = jnp.zeros((1,), jnp.int32)
 
     V = pltpu.VMEM
+    xlo, xhi = clamped_halo_maps(rx, last_x)
+    ylo, yhi = clamped_halo_maps(ry, last_y)
     cur = pl.BlockSpec((tx, ty, gz), lambda i, j: (i, j, 0),
                        memory_space=V)
-    xl = pl.BlockSpec((hx, ty, gz),
-                      lambda i, j: (jnp.maximum(i * rx - 1, 0), j, 0),
+    xl = pl.BlockSpec((hx, ty, gz), lambda i, j: (xlo(i), j, 0),
                       memory_space=V)
-    xr = pl.BlockSpec((hx, ty, gz),
-                      lambda i, j: (jnp.minimum((i + 1) * rx, last_x), j, 0),
+    xr = pl.BlockSpec((hx, ty, gz), lambda i, j: (xhi(i), j, 0),
                       memory_space=V)
-    yl = pl.BlockSpec((tx, hy, gz),
-                      lambda i, j: (i, jnp.maximum(j * ry - 1, 0), 0),
+    yl = pl.BlockSpec((tx, hy, gz), lambda i, j: (i, ylo(j), 0),
                       memory_space=V)
-    yr = pl.BlockSpec((tx, hy, gz),
-                      lambda i, j: (i, jnp.minimum((j + 1) * ry, last_y), 0),
+    yr = pl.BlockSpec((tx, hy, gz), lambda i, j: (i, yhi(j), 0),
                       memory_space=V)
-    ll = pl.BlockSpec((hx, hy, gz),
-                      lambda i, j: (jnp.maximum(i * rx - 1, 0),
-                                    jnp.maximum(j * ry - 1, 0), 0),
+    ll = pl.BlockSpec((hx, hy, gz), lambda i, j: (xlo(i), ylo(j), 0),
                       memory_space=V)
-    lr = pl.BlockSpec((hx, hy, gz),
-                      lambda i, j: (jnp.maximum(i * rx - 1, 0),
-                                    jnp.minimum((j + 1) * ry, last_y), 0),
+    lr = pl.BlockSpec((hx, hy, gz), lambda i, j: (xlo(i), yhi(j), 0),
                       memory_space=V)
-    rl = pl.BlockSpec((hx, hy, gz),
-                      lambda i, j: (jnp.minimum((i + 1) * rx, last_x),
-                                    jnp.maximum(j * ry - 1, 0), 0),
+    rl = pl.BlockSpec((hx, hy, gz), lambda i, j: (xhi(i), ylo(j), 0),
                       memory_space=V)
-    rr = pl.BlockSpec((hx, hy, gz),
-                      lambda i, j: (jnp.minimum((i + 1) * rx, last_x),
-                                    jnp.minimum((j + 1) * ry, last_y), 0),
+    rr = pl.BlockSpec((hx, hy, gz), lambda i, j: (xhi(i), yhi(j), 0),
                       memory_space=V)
     per_field = [cur, xl, xr, yl, yr, ll, lr, rl, rr]
     fields = []
@@ -417,15 +408,11 @@ def surface_fused_pallas(occ: jnp.ndarray, inertia: jnp.ndarray,
     hw = next((d for d in range(h, tx + 1) if tx % d == 0 and gx % d == 0),
               None)
     if all(halo is None for halo in halos) and hw is not None:
-        r0 = tx // hw
-        last = gx // hw - 1
-        lspec = pl.BlockSpec(
-            (hw, gy, gz), lambda i: (jnp.maximum(i * r0 - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM)
-        rspec = pl.BlockSpec(
-            (hw, gy, gz),
-            lambda i: (jnp.minimum((i + 1) * r0, last), 0, 0),
-            memory_space=pltpu.VMEM)
+        lo, hi = clamped_halo_maps(tx // hw, gx // hw - 1)
+        lspec = pl.BlockSpec((hw, gy, gz), lambda i: (lo(i), 0, 0),
+                             memory_space=pltpu.VMEM)
+        rspec = pl.BlockSpec((hw, gy, gz), lambda i: (hi(i), 0, 0),
+                             memory_space=pltpu.VMEM)
         fields = []
         for a in (occ, inertia, f2, skip):
             fields += [a, a, a]
