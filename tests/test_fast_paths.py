@@ -188,3 +188,35 @@ def test_jacobi_direct_halo_blocks_match():
                                whole_grid=False)        # 3 does not divide
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(direct))
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(mat))
+
+
+def test_slab_sizes_defaults_and_explicit():
+    """k/tx None resolve to the measured-best default per rd dtype ((8, 16)
+    f32, (4, 32) u8); explicit values are honored (subject only to the VMEM
+    budget), including an explicit (8, 16) with u8 rd."""
+    from tpu_fluid.kernels.jacobi import _slab_sizes
+    # small plane: the budget never binds, raw defaults come through
+    assert _slab_sizes(256, 128, 128, None, None, 4) == (8, 16)
+    # 256^3 planes: the f32 default shrinks to the documented (4, 16);
+    # the u8 default (4, 32) fits its enlarged budget as-is
+    assert _slab_sizes(256, 256, 256, None, None, 4) == (4, 16)
+    assert _slab_sizes(256, 256, 256, None, None, 1) == (4, 32)
+    assert _slab_sizes(256, 256, 256, 8, 16, 1) == (8, 16)
+    assert _slab_sizes(256, 256, 256, 4, 16, 4) == (4, 16)
+    # tiny grids clamp tx to a divisor of gx regardless of dtype
+    k, tx = _slab_sizes(12, 12, 12, None, None, 4)
+    assert 12 % tx == 0 and k <= tx
+
+
+def test_clamped_halo_maps_arithmetic():
+    """lo/hi address the halo blocks just outside tile b, clamped in-range:
+    interior tiles get true neighbors; domain-end tiles re-read an
+    in-domain block (the kernels mask those).  r0=1 degenerates to the
+    replicate-edge maps pack_table uses."""
+    from tpu_fluid.kernels.halo import clamped_halo_maps
+    lo, hi = clamped_halo_maps(4, 11)      # tx//h = 4, 3 tiles of 4 units
+    assert [int(lo(b)) for b in range(3)] == [0, 3, 7]
+    assert [int(hi(b)) for b in range(3)] == [4, 8, 11]
+    lo1, hi1 = clamped_halo_maps(1, 9)     # single-row units (pack_table)
+    assert [int(lo1(i)) for i in (0, 1, 9)] == [0, 0, 8]
+    assert [int(hi1(i)) for i in (0, 8, 9)] == [1, 9, 9]
