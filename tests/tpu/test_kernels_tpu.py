@@ -245,3 +245,64 @@ def test_occupancy_duplicate_scatter_on_tpu():
         lambda p, a: particles.detailed_densities(p, a, cfg))(pos, act))
     np.testing.assert_array_equal(occ.astype(bool), want > 0)
     assert occ[6, 6, 6] == 1 and set(np.unique(occ)) <= {0, 1}
+
+
+def test_pallas_jacobi_u8_code_bitwise_matches_f32():
+    """The u8 aii-code path (production: stages/pressure.poisson_solve
+    encodes rd = where(update, aii, 0).astype(u8)) must be bitwise equal
+    to handing the kernel the prebuilt f32 reciprocal — on BOTH the
+    whole-grid and the K-slab Mosaic paths (the in-kernel decode
+    1/max(code,1) reproduces the XLA construction exactly)."""
+    from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
+    n = 16
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    code = jax.random.randint(k1, (n, n, n), 0, 7).astype(jnp.uint8)
+    rd_f32 = jnp.where(code > 0,
+                       1.0 / jnp.maximum(code.astype(jnp.float32), 1.0),
+                       0.0)
+    c2 = jax.random.normal(k2, (n, n, n), dtype=jnp.float32)
+    q0 = jnp.where(code > 0, jnp.float32(1.0), 0.0)
+    for whole in (True, False):
+        got_u8 = jax.jit(lambda q: jacobi_sweeps_pallas(
+            q, code, c2, 9, whole_grid=whole))(q0)
+        got_f32 = jax.jit(lambda q: jacobi_sweeps_pallas(
+            q, rd_f32, c2, 9, whole_grid=whole))(q0)
+        np.testing.assert_array_equal(np.asarray(got_u8),
+                                      np.asarray(got_f32))
+
+
+def test_pallas_surface_2d_bitwise_matches_1d():
+    """The 2D-(x,y)-blocked surface kernel (the large-plane single-device
+    path) must be bitwise equal to the 1D x-slab kernel on real silicon —
+    same per-cell op order, only the blocking differs."""
+    from tpu_fluid.stages import surface_fields
+    from tpu_fluid.kernels.surface_fused import (surface_fused_pallas,
+                                                 surface_fused_2d, _tile2d)
+    n = 16
+    cfg = FluidConfig(grid_size=(n, n, n), surface_render_resolution=2,
+                      solid_boxes=(((4, 4, 4), (8, 8, 8)),))
+    d = cfg.detailed_size
+    h = cfg.float_density_diffuse_steps + 1
+    assert _tile2d(*d, h) is not None, "test size must admit a 2D tiling"
+    key = jax.random.PRNGKey(12)
+    k1, k2, k3 = jax.random.split(key, 3)
+    occ = (jax.random.uniform(k1, d) < 0.3).astype(jnp.uint8)
+    inertia = jax.random.randint(k2, d, 0, cfg.max_inertia + 1,
+                                 dtype=jnp.int32)
+    f2 = jax.random.normal(k3, d, dtype=jnp.float32)
+    types = _types(n, jax.random.PRNGKey(13))
+    skip = surface_fields.solid_parent_mask(types, cfg).astype(jnp.uint8)
+    kw = dict(steps=cfg.float_density_diffuse_steps,
+              k=cfg.float_density_diffuse_coefficient,
+              inc_filled=cfg.inertia_increase_filled,
+              inc_neigh=cfg.inertia_increase_neighbour,
+              required_hits=cfg.inertia_required_neighbour_hits,
+              dec=cfg.inertia_decrease, max_inertia=cfg.max_inertia,
+              div_coef=cfg.float_density_division_coefficient)
+    got1d = jax.jit(lambda o, i, f: surface_fused_pallas(
+        o, i, f, skip, **kw))(occ, inertia, f2)
+    got2d = jax.jit(lambda o, i, f: surface_fused_2d(
+        o, i, f, skip, **kw))(occ, inertia, f2)
+    for a, b in zip(got2d, got1d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
