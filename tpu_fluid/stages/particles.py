@@ -44,10 +44,12 @@ def detailed_occupancy(positions: jnp.ndarray, active: jnp.ndarray,
            & active)
     # scatter-SET of the constant 1 with OOB-drop routing: measured fastest
     # scatter form on TPU (no read-modify-write); int32 beats uint8.
-    # unique_indices=True is safe (and semantics-preserving) because every
-    # duplicate writes the same constant — it lets XLA skip the duplicate-
-    # resolution sort it otherwise inserts (5.9+0.95 -> ~2.3 ms at 1M
-    # particles, measured in the 128^3 step trace).
+    # unique_indices=True is semantically safe because every duplicate
+    # writes the same constant — but it buys no time: the TPU scatter
+    # emitter sorts regardless (unique_indices / promise_in_bounds / sorted
+    # variants all measured identical, NOTES.md round-3 trace: 5.92 ms
+    # scatter + 0.95 ms internal sort at 1M particles).  Kept because it
+    # declares the duplicate-set intent.
     flat = jnp.where(inb, x * (dy * dz) + y * dz + z, dx * dy * dz)
     occ = jnp.zeros((dx * dy * dz,), dtype=jnp.int32)
     occ = occ.at[flat].set(1, mode="drop", unique_indices=True)
