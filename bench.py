@@ -36,6 +36,28 @@ import sys
 import time
 
 
+def _apply_overrides(cfg, spec: str):
+    """Apply a TPU_FLUID_BENCH_SET spec ("k=v,k=v") to a FluidConfig.
+
+    bool/int/float values are coerced from the field's current value;
+    other field types take the raw string.  A bad key raises (the field's
+    current value is how we know its type), so a typo'd probe fails loudly
+    instead of silently benching the default config."""
+    applied = []
+    for kv in filter(None, spec.split(",")):
+        key, val = kv.split("=", 1)
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            val = val.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(val)
+        elif isinstance(cur, float):
+            val = float(val)
+        cfg = cfg.replace(**{key: val})
+        applied.append((key, val))
+    return cfg, applied
+
+
 def _run_once(n: int, particles: int, steps: int, sync_every: int):
     import jax
     import jax.numpy as jnp
@@ -50,6 +72,13 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
 
     cfg = FluidConfig.scaled_scene(n, particle_count=particles,
                                    jacobi_iters=200)
+    # TPU_FLUID_BENCH_SET="k=v,k=v": probe config variants through the same
+    # timed harness.  Overrides are echoed on stderr so a probed number can
+    # never masquerade as the headline.
+    cfg, applied = _apply_overrides(
+        cfg, os.environ.get("TPU_FLUID_BENCH_SET", ""))
+    for key, val in applied:
+        print(f"bench: config override {key}={val}", file=sys.stderr)
     ndev = len(jax.devices())
     if ndev > 1:
         # explicit SPMD path: shard_map + ppermute halos, Pallas kernels on
@@ -140,9 +169,13 @@ def main() -> None:
                    TPU_FLUID_BENCH_BACKOFF=str(wait * 2))
         os.execve(sys.executable, [sys.executable, __file__], env)
 
+    # a probed variant (TPU_FLUID_BENCH_SET) must be visible in the metric
+    # line itself, not only on stderr
+    overrides = os.environ.get("TPU_FLUID_BENCH_SET", "")
+    tag = f", overrides [{overrides}]" if overrides else ""
     print(json.dumps({
         "metric": f"sim steps/sec @ {n}^3 grid, {particles} particles, "
-                  f"200 Jacobi iters ({ndev} TPU chip(s))",
+                  f"200 Jacobi iters ({ndev} TPU chip(s)){tag}",
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / 60.0, 3),

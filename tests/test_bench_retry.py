@@ -34,3 +34,29 @@ def test_retry_chain_exhausts_attempts_and_fails():
     # 3 attempts = 2 retry announcements, with doubling backoff 1s -> 2s
     assert retries == ["1", "2"], r.stderr
     assert "Unable to initialize backend" in r.stderr
+
+
+def test_bench_set_overrides_typed():
+    # TPU_FLUID_BENCH_SET coerces from the field's current value and
+    # fails loudly on a bad key (silently benching the default config
+    # would let a typo'd probe masquerade as a variant measurement)
+    import importlib.util
+    import pytest
+    from tpu_fluid.core.config import FluidConfig
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    cfg = FluidConfig.scaled_scene(16)
+    out, applied = bench._apply_overrides(
+        cfg, "grid_fused=true,jacobi_iters=7,gravity=9.81")
+    assert out.grid_fused is True
+    assert out.jacobi_iters == 7
+    assert out.gravity == 9.81
+    assert [k for k, _ in applied] == ["grid_fused", "jacobi_iters",
+                                       "gravity"]
+    same, none_applied = bench._apply_overrides(cfg, "")
+    assert same == cfg and none_applied == []
+    with pytest.raises(AttributeError):
+        bench._apply_overrides(cfg, "not_a_field=1")
