@@ -48,7 +48,13 @@ def _apply_overrides(cfg, spec: str):
         key, val = kv.split("=", 1)
         cur = getattr(cfg, key)
         if isinstance(cur, bool):
-            val = val.lower() in ("1", "true", "yes")
+            low = val.lower()
+            if low in ("1", "true", "yes"):
+                val = True
+            elif low in ("0", "false", "no"):
+                val = False
+            else:  # a typo'd bool ('ture') must fail loudly, not bench False
+                raise ValueError(f"bad bool for {key}: {val!r}")
         elif isinstance(cur, int):
             val = int(val)
         elif isinstance(cur, float):
@@ -72,6 +78,15 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
 
     cfg = FluidConfig.scaled_scene(n, particle_count=particles,
                                    jacobi_iters=200)
+    ndev = len(jax.devices())
+    # TPU_FLUID_BENCH_SPMD=1 routes a 1-device run through the explicit
+    # SPMD path (1-device mesh) — measures the sharded program form's
+    # single-chip overhead on real silicon (NOTES "SPMD program on silicon")
+    use_spmd = ndev > 1 or os.environ.get("TPU_FLUID_BENCH_SPMD") == "1"
+    if use_spmd:
+        # multi-chip default BEFORE the overrides, so a TPU_FLUID_BENCH_SET
+        # particle_sharding probe is honored rather than silently clobbered
+        cfg = cfg.replace(particle_sharding="domain")
     # TPU_FLUID_BENCH_SET="k=v,k=v": probe config variants through the same
     # timed harness.  Overrides are echoed on stderr so a probed number can
     # never masquerade as the headline.
@@ -79,8 +94,7 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
         cfg, os.environ.get("TPU_FLUID_BENCH_SET", ""))
     for key, val in applied:
         print(f"bench: config override {key}={val}", file=sys.stderr)
-    ndev = len(jax.devices())
-    if ndev > 1:
+    if use_spmd:
         # explicit SPMD path: shard_map + ppermute halos, Pallas kernels on
         # local blocks — the multi-chip fast path (parallel/spmd_step.py).
         # Particles are DOMAIN-sharded (parallel/particles_domain.py): the
@@ -89,12 +103,14 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
         # of an all_gather of the whole velocity field (3*X*Y*Z*4 B —
         # 200 MB/shard/step at 256^3); tests/test_particles_domain.py pins
         # the compiled HLO all-gather-free.
-        from tpu_fluid.parallel.mesh import make_mesh
+        from tpu_fluid.parallel.mesh import make_mesh, shard_state
         from tpu_fluid.parallel.particles_domain import domain_shard_state
         from tpu_fluid.parallel.spmd_step import spmd_step
         mesh = make_mesh()
-        cfg = cfg.replace(particle_sharding="domain")
-        state = domain_shard_state(initial_state(cfg), mesh, cfg)
+        if cfg.particle_sharding == "domain":
+            state = domain_shard_state(initial_state(cfg), mesh, cfg)
+        else:  # a particle_sharding=index probe keeps the flat layout
+            state = shard_state(initial_state(cfg), mesh)
         step = spmd_step(mesh, cfg, donate=False)
 
         def run(s):
@@ -109,7 +125,7 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
     # pipeline, allocator, and caches are warm when the timed region starts
     # (the first timed chunk otherwise runs ~25% slow with nothing to
     # overlap its sync against)
-    state = run(state if ndev > 1 else initial_state(cfg))
+    state = run(state if use_spmd else initial_state(cfg))
     for _ in range(max(0, sync_every - 1)):
         state = run(state)
     # warm the tiny jnp.copy token program too: its first-use remote
@@ -173,6 +189,8 @@ def main() -> None:
     # line itself, not only on stderr
     overrides = os.environ.get("TPU_FLUID_BENCH_SET", "")
     tag = f", overrides [{overrides}]" if overrides else ""
+    if os.environ.get("TPU_FLUID_BENCH_SPMD") == "1":
+        tag += ", SPMD program form forced"
     print(json.dumps({
         "metric": f"sim steps/sec @ {n}^3 grid, {particles} particles, "
                   f"200 Jacobi iters ({ndev} TPU chip(s)){tag}",

@@ -60,3 +60,8 @@ def test_bench_set_overrides_typed():
     assert same == cfg and none_applied == []
     with pytest.raises(AttributeError):
         bench._apply_overrides(cfg, "not_a_field=1")
+    # ADVICE r4: a typo'd bool value must raise, not silently become False
+    with pytest.raises(ValueError):
+        bench._apply_overrides(cfg, "grid_fused=ture")
+    off, _ = bench._apply_overrides(cfg, "grid_fused=no")
+    assert off.grid_fused is False

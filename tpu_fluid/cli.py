@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "loopback because /key and /stream are "
                         "unauthenticated — pass 0.0.0.0 to expose on the "
                         "network deliberately")
+    p.add_argument("--paused-render-interval", type=float, default=0.25,
+                   help="seconds between re-rendered live-viewer frames "
+                        "while paused; 0 = render as fast as possible "
+                        "(the reference's paused behavior, main.cpp:163-177)")
     p.add_argument("--orbit-deg", type=float, default=0.0,
                    help="orbit the camera this many degrees around the "
                         "scene center between rendered frames")
@@ -202,6 +206,7 @@ def main(argv=None) -> int:
               flush=True)
     sim.render_surface = not args.no_surface
     sim.render_particles = not args.no_particles
+    sim.paused_render_interval = args.paused_render_interval
     if args.camera_scale != 1.0:
         import numpy as np
         center = tuple(g / 2.0 for g in sim.cfg.grid_size)

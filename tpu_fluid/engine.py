@@ -47,6 +47,12 @@ class Simulation:
     scene: "SceneFields" = None       # dynamic solids / force field
     dispatch_chunk: int = 5           # max frames per device dispatch
     max_pending: int = 1              # pipelined chunks left un-synced
+    # Seconds between re-rendered frames while paused with a live viewer.
+    # The reference renders paused frames at full rate (`main.cpp:163-177`);
+    # here each paused frame is a device render + host fetch through the
+    # remote tunnel, so the default throttles to 4 Hz.  Set 0.0 for the
+    # reference's render-as-fast-as-possible behavior.
+    paused_render_interval: float = 0.25
 
     def __post_init__(self):
         if self.state is None:
@@ -239,7 +245,8 @@ class Simulation:
                     self.render_frame(width, height,
                                       method=render_method)))
                 viewer.push(img)
-                _time.sleep(0.25)
+                if self.paused_render_interval > 0.0:
+                    _time.sleep(self.paused_render_interval)
                 continue
             chunk = n_steps - done
             for cadence in (frame_every, log_every, checkpoint_every,

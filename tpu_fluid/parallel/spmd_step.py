@@ -213,11 +213,9 @@ def _local_step(state: FluidState, cfg: FluidConfig,
     """One frame on this shard's local blocks (runs inside shard_map).
     Stage order identical to solver/step.simulation_step.  `scene` holds
     x-slab local blocks of the dynamic SceneFields, if any."""
-    from tpu_fluid.kernels import pallas_choice
+    from tpu_fluid.kernels import fuse_grid_choice, pallas_choice
     use_pallas, interpret = pallas_choice(cfg)
-    fuse_grid = (use_pallas and cfg.grid_fused
-                 and cfg.reference_diffuse_noop and scene is None
-                 and cfg.grid_size[1] * cfg.grid_size[2] <= 98304)
+    fuse_grid = fuse_grid_choice(cfg, scene)
     scene_solid = scene.solid if scene is not None else None
     scene_force = scene.force if scene is not None else None
 

@@ -30,11 +30,9 @@ def simulation_step(state: FluidState, cfg: FluidConfig,
       11 divergence -> 12 Jacobi xN -> 13 project -> 14 move particles ->
       15 detail histogram -> 16 inertia -> 17 signed field -> 18 blur xM
     """
-    from tpu_fluid.kernels import pallas_choice
-    use_pallas, interpret = pallas_choice(cfg)
-    fuse_grid = (use_pallas and cfg.grid_fused
-                 and cfg.reference_diffuse_noop and scene is None
-                 and cfg.grid_size[1] * cfg.grid_size[2] <= 98304)
+    from tpu_fluid.kernels import fuse_grid_choice, pallas_choice
+    _, interpret = pallas_choice(cfg)
+    fuse_grid = fuse_grid_choice(cfg, scene)
     scene_solid = scene.solid if scene is not None else None
     scene_force = scene.force if scene is not None else None
 
