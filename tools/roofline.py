@@ -1,0 +1,411 @@
+"""Per-piece roofline probes on the real TPU (VERDICT round-4 item 1).
+
+For each non-request piece of the 128^3 bench step this measures (a) the
+production kernel and (b) a same-shape synthetic CEILING kernel — identical
+pallas grid / block specs / HBM traffic, trivial compute — so the gap
+between the two is exactly the kernel's arithmetic + data-movement cost on
+top of its unavoidable IO.  NOTES.md "Round-5 roofline" records the table.
+
+Timing: each probe is ONE jitted program that applies the kernel `iters`
+times inside lax.scan, with a scalar of each output folded into the carry
+(defeats CSE/DCE without adding measurable work), so per-call time needs no
+host-dispatch correction and one sync per probe keeps the axon tunnel's
+un-synced dispatch depth at 1 (NOTES round-3: >~10 hangs).
+
+Usage: python tools/roofline.py [probe ...]   (default: all)
+Probes: pack pack_io pack_stacklast surface1d surface2d surface_io
+        sample jacobi64 jacobi128 mask misc
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_fluid.core.config import FluidConfig
+from tpu_fluid.utils.cache import enable_compilation_cache
+
+N = 128
+CFG = None  # set in main()
+
+
+def timed_scan(make_step, carry0, iters=30, reps=3):
+    """make_step: carry -> carry (one kernel application).  Returns ms per
+    application via the TWO-LENGTH DIFFERENCE (time(4L) - time(L)) / 3L —
+    cancels the constant dispatch + fetch-roundtrip overhead (~30-40 ms on
+    this tunnel) that would otherwise swamp ms-scale kernels.  Inputs are
+    perturbed per rep: this remote runtime serves repeated identical-input
+    executions from a result cache (utils/profiling.py header), which an
+    un-perturbed rep measures as ~0 ms."""
+    def build(length):
+        @jax.jit
+        def prog(c):
+            return jax.lax.scan(lambda cc, _: (make_step(cc), None), c,
+                                None, length=length)[0]
+        return prog
+
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+    def run_ms(prog, rep):
+        cin = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(rep, a.dtype), carry0)
+        fetch(cin)                    # upload outside the timed region
+        t0 = time.time()
+        fetch(prog(cin))
+        return (time.time() - t0) * 1e3
+
+    short, long_ = build(iters), build(4 * iters)
+    run_ms(short, 100)                # compile + warm both programs
+    run_ms(long_, 101)
+    best = None
+    for r in range(reps):
+        per = (run_ms(long_, 2 * r + 1) - run_ms(short, 2 * r + 2)) \
+            / (3 * iters)
+        best = per if best is None else min(best, per)
+    return best
+
+
+def fold(carry, out):
+    """Fold a scalar of `out` into the f32 carry (anti-CSE, ~zero cost)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    s = sum(l.ravel()[0].astype(jnp.float32) for l in leaves)
+    return carry + s * 1e-30
+
+
+# ---------------------------------------------------------------- pack
+
+
+def _vel():
+    return jnp.zeros((3, N, N, N), jnp.float32) + jnp.linspace(
+        0.0, 1.0, N)  # nonzero, varied
+
+
+def probe_pack():
+    from tpu_fluid.kernels.pack_table import build_packed_table_pallas2
+    vel = _vel()
+
+    def step(v):
+        return fold(v, build_packed_table_pallas2(v))
+    return timed_scan(step, vel)
+
+
+def _pack_io_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
+    gy, gz = shape[1], shape[2]
+    s = prev_ref[0, 0, 0, 0] + cur_ref[0, 0, 0, 0] + next_ref[0, 0, 0, 0]
+    out_ref[0] = jnp.zeros((gy, gz // 2, 128), jnp.float32) + s
+
+
+def probe_pack_io():
+    """Ceiling: same grid, same 3x halo-row input reads, same full-table
+    write — but the out block is a scalar broadcast (no stack/transpose)."""
+    from tpu_fluid.kernels.pack_table import _xrow_specs, LANES
+    vel = _vel()
+    gx, gy, gz = N, N, N
+    kern = functools.partial(_pack_io_kernel, shape=(gx, gy, gz))
+
+    def build(v):
+        return pl.pallas_call(
+            kern, grid=(gx,), in_specs=list(_xrow_specs(gx, gy, gz)),
+            out_specs=pl.BlockSpec((1, gy, gz // 2, 2 * LANES),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gx, gy, gz // 2, 2 * LANES),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(v, v, v)
+
+    def step(v):
+        return fold(v, build(v))
+    return timed_scan(step, vel)
+
+
+def _pack_stacklast_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
+    """Variant: build (Y, Z, 64) by stacking on a NEW MINOR axis directly
+    (no explicit transpose) — probes whether Mosaic lowers the lane
+    interleave better than stack(axis=0) + transpose."""
+    from tpu_fluid.ops.packed_sampler import LANES, _OTHER, _lane
+    gx, gy, gz = shape
+    a = jnp.concatenate([prev_ref[...], cur_ref[...], next_ref[...]],
+                        axis=1)
+    a = jnp.concatenate([a[:, :, :1], a, a[:, :, -1:]], axis=2)
+    a = jnp.concatenate([a[..., :1], a, a[..., -1:]], axis=3)
+    lane_vals = {}
+    for c in range(3):
+        a1, a2 = _OTHER[c]
+        for dc in (0, 1):
+            for d1 in (-1, 0, 1):
+                for d2 in (-1, 0, 1):
+                    off = [0, 0, 0]
+                    off[c] = dc
+                    off[a1] = d1
+                    off[a2] = d2
+                    lane_vals[_lane(c, dc, d1, d2)] = a[
+                        c, 1 + off[0],
+                        1 + off[1]:1 + off[1] + gy,
+                        1 + off[2]:1 + off[2] + gz]
+    zero = jnp.zeros((gy, gz), dtype=out_ref.dtype)
+    t = jnp.stack([lane_vals.get(ln, zero) for ln in range(LANES)],
+                  axis=-1)                        # (Y, Z, 64) directly
+    h = gz // 2
+    out_ref[0] = jnp.concatenate([t[:, :h, :], t[:, h:, :]], axis=-1)
+
+
+def probe_pack_stacklast():
+    from tpu_fluid.kernels.pack_table import _xrow_specs, LANES
+    vel = _vel()
+    gx, gy, gz = N, N, N
+    kern = functools.partial(_pack_stacklast_kernel, shape=(gx, gy, gz))
+
+    def build(v):
+        return pl.pallas_call(
+            kern, grid=(gx,), in_specs=list(_xrow_specs(gx, gy, gz)),
+            out_specs=pl.BlockSpec((1, gy, gz // 2, 2 * LANES),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gx, gy, gz // 2, 2 * LANES),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(v, v, v)
+
+    def step(v):
+        return fold(v, build(v))
+    return timed_scan(step, vel)
+
+
+def _pack_t128_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
+    """Variant: fuse the z-halves pairing INTO the transpose — stack both
+    halves to (128, Y, Z/2) first, then ONE (1,2,0) transpose straight into
+    full 128-lane vregs.  The production kernel transposes into 64-lane
+    (half-empty) vregs and pays a second lane-concat relayout pass."""
+    from tpu_fluid.ops.packed_sampler import LANES, _OTHER, _lane
+    gx, gy, gz = shape
+    a = jnp.concatenate([prev_ref[...], cur_ref[...], next_ref[...]],
+                        axis=1)
+    a = jnp.concatenate([a[:, :, :1], a, a[:, :, -1:]], axis=2)
+    a = jnp.concatenate([a[..., :1], a, a[..., -1:]], axis=3)
+    lane_vals = {}
+    for c in range(3):
+        a1, a2 = _OTHER[c]
+        for dc in (0, 1):
+            for d1 in (-1, 0, 1):
+                for d2 in (-1, 0, 1):
+                    off = [0, 0, 0]
+                    off[c] = dc
+                    off[a1] = d1
+                    off[a2] = d2
+                    lane_vals[_lane(c, dc, d1, d2)] = a[
+                        c, 1 + off[0],
+                        1 + off[1]:1 + off[1] + gy,
+                        1 + off[2]:1 + off[2] + gz]
+    zero = jnp.zeros((gy, gz), dtype=out_ref.dtype)
+    h = gz // 2
+    planes = [lane_vals.get(ln, zero) for ln in range(LANES)]
+    both = jnp.stack([p[:, :h] for p in planes]
+                     + [p[:, h:] for p in planes], axis=0)  # (128, Y, Z/2)
+    out_ref[0] = jnp.transpose(both, (1, 2, 0))             # (Y, Z/2, 128)
+
+
+def probe_pack_t128():
+    from tpu_fluid.kernels.pack_table import _xrow_specs, LANES
+    vel = _vel()
+    gx, gy, gz = N, N, N
+    kern = functools.partial(_pack_t128_kernel, shape=(gx, gy, gz))
+
+    def build(v):
+        return pl.pallas_call(
+            kern, grid=(gx,), in_specs=list(_xrow_specs(gx, gy, gz)),
+            out_specs=pl.BlockSpec((1, gy, gz // 2, 2 * LANES),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gx, gy, gz // 2, 2 * LANES),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(v, v, v)
+
+    def step(v):
+        return fold(v, build(v))
+    return timed_scan(step, vel)
+
+
+# ------------------------------------------------------------- surface
+
+
+def _surface_args():
+    d = N * CFG.surface_render_resolution
+    occ = (jnp.zeros((d, d, d), jnp.uint8)
+           .at[d // 4:d // 2].set(1))
+    inertia = jnp.zeros((d, d, d), jnp.uint8).at[d // 4:d // 2].set(40)
+    f2 = jnp.zeros((d, d, d), jnp.float32) - 1.0
+    skip = jnp.zeros((d, d, d), jnp.uint8)
+    kw = dict(steps=CFG.float_density_diffuse_steps,
+              k=CFG.float_density_diffuse_coefficient,
+              inc_filled=CFG.inertia_increase_filled,
+              inc_neigh=CFG.inertia_increase_neighbour,
+              required_hits=CFG.inertia_required_neighbour_hits,
+              dec=CFG.inertia_decrease,
+              max_inertia=CFG.max_inertia,
+              div_coef=CFG.float_density_division_coefficient)
+    return occ, inertia, f2, skip, kw
+
+
+def probe_surface1d():
+    from tpu_fluid.kernels.surface_fused import surface_fused_auto
+    occ, inertia, f2, skip, kw = _surface_args()
+
+    def step(f):
+        return fold(f, surface_fused_auto(occ, inertia, f, skip, **kw))
+    return timed_scan(step, f2, iters=15)
+
+
+def probe_surface2d():
+    from tpu_fluid.kernels.surface_fused import surface_fused_2d
+    occ, inertia, f2, skip, kw = _surface_args()
+
+    def step(f):
+        return fold(f, surface_fused_2d(occ, inertia, f, skip, **kw))
+    return timed_scan(step, f2, iters=15)
+
+
+def _surface_io_kernel(occ_ref, in_ref, f2_ref, skip_ref,
+                       oi_ref, of1_ref, of2_ref):
+    def f32(u8):  # Mosaic lacks a direct u8 -> f32 cast
+        return u8.astype(jnp.int32).astype(jnp.float32)
+    s = (f32(occ_ref[0, 0, 0]) + f32(in_ref[0, 0, 0]) + f2_ref[0, 0, 0]
+         + f32(skip_ref[0, 0, 0]))
+    oi_ref[...] = jnp.zeros_like(oi_ref) + s.astype(oi_ref.dtype)
+    of1_ref[...] = jnp.zeros_like(of1_ref) + s
+    of2_ref[...] = jnp.zeros_like(of2_ref) + s
+
+
+def probe_surface_io():
+    """Ceiling: one halo-free read of the 4 inputs + one write of the 3
+    outputs over the same x-slab grid (the fused kernel's irreducible HBM
+    traffic, minus the (tx+2h)/tx halo amplification)."""
+    occ, inertia, f2, skip, kw = _surface_args()
+    d = occ.shape[0]
+    tx = 16
+    V = pltpu.VMEM
+    spec = pl.BlockSpec((tx, d, d), lambda i: (i, 0, 0), memory_space=V)
+
+    def build(f):
+        return pl.pallas_call(
+            _surface_io_kernel, grid=(d // tx,),
+            in_specs=[spec] * 4, out_specs=(spec, spec, spec),
+            out_shape=(jax.ShapeDtypeStruct((d, d, d), jnp.uint8),
+                       jax.ShapeDtypeStruct((d, d, d), jnp.float32),
+                       jax.ShapeDtypeStruct((d, d, d), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(occ, inertia, f, skip)
+
+    def step(f):
+        return fold(f, build(f))
+    return timed_scan(step, f2, iters=15)
+
+
+# ------------------------------------------------------------- sample
+
+
+def probe_sample():
+    """The sample+move kernel alone, on pre-gathered (P, 128) paired rows
+    (the gather itself is part of the request floor, not this piece)."""
+    from tpu_fluid.kernels.particle_sample import sample_and_move
+    m = CFG.particle_count
+    rows = jnp.zeros((m, 128), jnp.float32) + 0.25
+    act = jnp.ones((m,), jnp.float32)
+    pos_t = jnp.stack([jnp.linspace(1.0, N - 2.0, m)] * 3, axis=0)
+
+    def step(p):
+        # clip keeps the carried positions in-grid across scan iterations
+        out = sample_and_move(rows, p, act, (N, N, N), CFG.dt)
+        return jnp.clip(out, 1.0, N - 2.0)
+    return timed_scan(step, pos_t, iters=20)
+
+
+# ------------------------------------------------------------- jacobi
+
+
+def _jacobi_args(n):
+    cfg = FluidConfig.scaled_scene(n, jacobi_iters=200)
+    q = jnp.zeros((n, n, n), jnp.float32)
+    rd = jnp.full((n, n, n), 6, jnp.uint8).at[0].set(0)
+    c2 = jnp.zeros((n, n, n), jnp.float32) + 0.1
+    return cfg, q, rd, c2
+
+
+def probe_jacobi(n):
+    from tpu_fluid.kernels.jacobi import jacobi_sweeps_pallas
+    cfg, q, rd, c2 = _jacobi_args(n)
+    iters = cfg.jacobi_iters
+
+    def step(qq):
+        return jacobi_sweeps_pallas(qq, rd, c2, iters)
+    ms = timed_scan(step, q, iters=5, reps=3)
+    print(f"jacobi{n}: {ms:.3f} ms / {iters}-iter solve = "
+          f"{ms / iters * 1e3:.2f} us/iteration", file=sys.stderr)
+    return ms / iters  # ms per Jacobi iteration
+
+
+def probe_mask():
+    """solid_parent_mask + u8 cast (rebuilt every step; part of 'misc')."""
+    from tpu_fluid.stages.surface_fields import solid_parent_mask
+    types = jnp.zeros((N, N, N), jnp.int32)
+
+    def step(t):
+        m = solid_parent_mask(t, CFG).astype(jnp.uint8)
+        return t + m[0, 0, 0].astype(jnp.int32) * 0
+    return timed_scan(step, types, iters=20)
+
+
+PROBES = {
+    "pack": probe_pack,
+    "pack_io": probe_pack_io,
+    "pack_stacklast": probe_pack_stacklast,   # dead: Mosaic "Unsupported
+    # reshape" on the stack(axis=-1) lowering (round-5 probe log)
+    "pack_t128": probe_pack_t128,
+    "surface1d": probe_surface1d,
+    "surface2d": probe_surface2d,
+    "surface_io": probe_surface_io,
+    "sample": probe_sample,
+    "jacobi64": lambda: probe_jacobi(64),
+    "jacobi128": lambda: probe_jacobi(128),
+    "mask": probe_mask,
+}
+
+
+def main():
+    global CFG
+    enable_compilation_cache()
+    CFG = FluidConfig.scaled_scene(N, particle_count=1000000,
+                                   jacobi_iters=200)
+    names = sys.argv[1:] or list(PROBES)
+    out = {}
+    for name in names:
+        try:
+            ms = PROBES[name]()
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        out[name] = round(ms, 4)
+        print(json.dumps({"probe": name, "ms": round(ms, 4)}))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
