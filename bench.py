@@ -116,7 +116,14 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
         def run(s):
             return step(s)
     else:
-        jstep = jax.jit(simulation_step, static_argnums=1)
+        # TPU_FLUID_BENCH_DONATE=1: donate the state pytree (the engine's
+        # jit_step does; the round-5 trace shows the non-donating program
+        # carries async state copies — a 75 MB velocity copy pair — that
+        # compete for HBM bandwidth)
+        donate = (0,) if os.environ.get("TPU_FLUID_BENCH_DONATE") == "1" \
+            else ()
+        jstep = jax.jit(simulation_step, static_argnums=1,
+                        donate_argnums=donate)
 
         def run(s):
             return jstep(s, cfg)
@@ -191,6 +198,8 @@ def main() -> None:
     tag = f", overrides [{overrides}]" if overrides else ""
     if os.environ.get("TPU_FLUID_BENCH_SPMD") == "1":
         tag += ", SPMD program form forced"
+    if os.environ.get("TPU_FLUID_BENCH_DONATE") == "1":
+        tag += ", donated state"
     print(json.dumps({
         "metric": f"sim steps/sec @ {n}^3 grid, {particles} particles, "
                   f"200 Jacobi iters ({ndev} TPU chip(s)){tag}",

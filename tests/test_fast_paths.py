@@ -146,6 +146,25 @@ def test_paired_table_matches_64lane():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_packed_pair_z_flag_parity():
+    """cfg.packed_pair_z=False must route move_particles through the
+    64-lane table and land particles bitwise where the paired path does
+    (the A/B knob behind TPU_FLUID_BENCH_SET=packed_pair_z=false)."""
+    from tpu_fluid.core.config import FluidConfig
+    from tpu_fluid.stages.particles import move_particles
+    r = np.random.default_rng(13)
+    gs = (4, 8, 128)          # gz >= 128: the paired gate is live
+    vel = jnp.asarray(r.standard_normal((3,) + gs).astype(np.float32))
+    pos = jnp.asarray(
+        (r.random((512, 3)) * np.array(gs)).astype(np.float32))
+    act = jnp.asarray(r.random(512) < 0.9)
+    cfg = FluidConfig(grid_size=gs, particle_count=512,
+                      pallas_mode="interpret")
+    a = move_particles(vel, pos, act, cfg)
+    b = move_particles(vel, pos, act, cfg.replace(packed_pair_z=False))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_advect_one_matches_all_and_shift():
     """advect_one_pallas (per-component, direct vel halos + in-register
     face-center velocity — the big-plane path) must match advect_all_pallas

@@ -74,6 +74,41 @@ def test_domain_matches_single_device(mode):
     assert int(jax.device_get(sharded.dropped)) == 0   # counter agrees
 
 
+def test_one_device_mesh_skips_collectives_and_matches():
+    """make_mesh(1): halo_planes / jacobi edges / migrate take their
+    no-neighbor shortcuts.  The compiled program must contain NO
+    collective-permute at all — XLA:TPU's degenerate EMPTY-PAIR
+    collective-permute measured 15-59 ms EACH on silicon (NOTES round-5,
+    `docs/perf/trace_spmd_r5_128_pre_n1fix.jsonl`) — and the result must
+    still match the single-device step exactly."""
+    from tpu_fluid.parallel.mesh import make_mesh
+    from tpu_fluid.parallel.particles_domain import domain_shard_state
+    from tpu_fluid.parallel.spmd_step import spmd_step
+
+    cfg = _cfg(pallas_mode="off")
+    ref = initial_state(cfg)
+    stepf = jax.jit(simulation_step, static_argnums=1)
+    mesh = make_mesh(1)
+    sharded = domain_shard_state(initial_state(cfg), mesh, cfg)
+    stepn = spmd_step(mesh, cfg, donate=False)
+    hlo = stepn.lower(sharded).compile().as_text()
+    assert "collective-permute" not in hlo
+    for _ in range(3):
+        ref = stepf(ref, cfg)
+        sharded = stepn(sharded)
+    for name in ("velocity", "cell_types", "inertia", "float_dens_1",
+                 "float_dens_2", "detailed_occ"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(getattr(ref, name))),
+            np.asarray(jax.device_get(getattr(sharded, name))),
+            err_msg=name)
+    a = _sorted_active_positions(ref.positions, ref.active)
+    b = _sorted_active_positions(sharded.positions, sharded.active)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+    assert int(jax.device_get(sharded.dropped)) == 0
+
+
 def test_domain_with_volume_projection_matches():
     """cell_histogram_local + the distributed volume drift under domain
     sharding."""

@@ -242,6 +242,40 @@ def probe_pack_t128():
     return timed_scan(step, vel)
 
 
+def _pack_tonly_kernel(prev_ref, cur_ref, next_ref, out_ref, *, shape):
+    """Transpose-only: same IO + the same (128, Y, Z/2) -> (Y, Z/2, 128)
+    relayout, but trivial assembly (one row broadcast) — isolates the
+    mandatory z-minor -> neighbor-minor relayout cost from the 54-slice
+    neighborhood assembly."""
+    gy, gz = shape[1], shape[2]
+    v = (prev_ref[0, 0] + cur_ref[0, 0] + next_ref[0, 0])[:, :gz // 2]
+    both = jnp.broadcast_to(v[None], (128, gy, gz // 2))
+    out_ref[0] = jnp.transpose(both, (1, 2, 0))
+
+
+def probe_pack_tonly():
+    from tpu_fluid.kernels.pack_table import _xrow_specs, LANES
+    vel = _vel()
+    gx, gy, gz = N, N, N
+    kern = functools.partial(_pack_tonly_kernel, shape=(gx, gy, gz))
+
+    def build(v):
+        return pl.pallas_call(
+            kern, grid=(gx,), in_specs=list(_xrow_specs(gx, gy, gz)),
+            out_specs=pl.BlockSpec((1, gy, gz // 2, 2 * LANES),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gx, gy, gz // 2, 2 * LANES),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(v, v, v)
+
+    def step(v):
+        return fold(v, build(v))
+    return timed_scan(step, vel)
+
+
 # ------------------------------------------------------------- surface
 
 
@@ -283,13 +317,15 @@ def probe_surface2d():
 
 def _surface_io_kernel(occ_ref, in_ref, f2_ref, skip_ref,
                        oi_ref, of1_ref, of2_ref):
-    def f32(u8):  # Mosaic lacks a direct u8 -> f32 cast
-        return u8.astype(jnp.int32).astype(jnp.float32)
-    s = (f32(occ_ref[0, 0, 0]) + f32(in_ref[0, 0, 0]) + f2_ref[0, 0, 0]
-         + f32(skip_ref[0, 0, 0]))
-    oi_ref[...] = jnp.zeros_like(oi_ref) + s.astype(oi_ref.dtype)
-    of1_ref[...] = jnp.zeros_like(of1_ref) + s
-    of2_ref[...] = jnp.zeros_like(of2_ref) + s
+    # whole-block single-op bodies: reads all 4 inputs, writes all 3
+    # outputs, ~zero arithmetic.  u8 arithmetic follows the production
+    # kernel's pattern (i32 compute, u8 store): Mosaic rejects u8 vector
+    # adds, u8 scalar extracts, and u8<->f32 casts.
+    oi_ref[...] = (occ_ref[...].astype(jnp.int32)
+                   + in_ref[...].astype(jnp.int32)).astype(jnp.uint8)
+    skipf = skip_ref[...].astype(jnp.int32).astype(jnp.float32)
+    of1_ref[...] = f2_ref[...] + skipf
+    of2_ref[...] = f2_ref[...] - skipf
 
 
 def probe_surface_io():
@@ -355,7 +391,10 @@ def probe_jacobi(n):
 
     def step(qq):
         return jacobi_sweeps_pallas(qq, rd, c2, iters)
-    ms = timed_scan(step, q, iters=5, reps=3)
+    # small grids: more scan repetitions so the two-length difference
+    # window (3*scan_iters solves) is well above timer noise
+    scan_iters = 100 if n <= 64 else 5
+    ms = timed_scan(step, q, iters=scan_iters, reps=3)
     print(f"jacobi{n}: {ms:.3f} ms / {iters}-iter solve = "
           f"{ms / iters * 1e3:.2f} us/iteration", file=sys.stderr)
     return ms / iters  # ms per Jacobi iteration
@@ -378,6 +417,7 @@ PROBES = {
     "pack_stacklast": probe_pack_stacklast,   # dead: Mosaic "Unsupported
     # reshape" on the stack(axis=-1) lowering (round-5 probe log)
     "pack_t128": probe_pack_t128,
+    "pack_tonly": probe_pack_tonly,
     "surface1d": probe_surface1d,
     "surface2d": probe_surface2d,
     "surface_io": probe_surface_io,

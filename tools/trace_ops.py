@@ -26,7 +26,7 @@ import numpy as np
 TRACE_STEPS = 5
 
 
-def capture(n: int) -> str:
+def capture(n: int, spmd: bool = False) -> str:
     from tpu_fluid.core.config import FluidConfig
     from tpu_fluid.core.state import initial_state
     from tpu_fluid.solver.step import simulation_step
@@ -35,8 +35,20 @@ def capture(n: int) -> str:
     enable_compilation_cache()
     cfg = FluidConfig.scaled_scene(n, particle_count=1000000,
                                    jacobi_iters=200)
-    step = jax.jit(simulation_step, static_argnums=1)
-    state = initial_state(cfg)
+    if spmd:   # the program form TPU_FLUID_BENCH_SPMD=1 benches
+        from tpu_fluid.parallel.mesh import make_mesh
+        from tpu_fluid.parallel.particles_domain import domain_shard_state
+        from tpu_fluid.parallel.spmd_step import spmd_step
+        cfg = cfg.replace(particle_sharding="domain")
+        mesh = make_mesh()
+        state = domain_shard_state(initial_state(cfg), mesh, cfg)
+        sstep = spmd_step(mesh, cfg, donate=False)
+
+        def step(s, _cfg):
+            return sstep(s)
+    else:
+        step = jax.jit(simulation_step, static_argnums=1)
+        state = initial_state(cfg)
     for _ in range(3):                      # compile + warm
         state = step(state, cfg)
     np.asarray(jax.device_get(state.step))
@@ -51,7 +63,7 @@ def capture(n: int) -> str:
 
 def parse(logdir: str):
     """Sum per-op device time from the xplane proto (TPU op lanes)."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -76,8 +88,9 @@ def parse(logdir: str):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    logdir = capture(n)
+    args = [a for a in sys.argv[1:] if a != "--spmd"]
+    n = int(args[0]) if args else 128
+    logdir = capture(n, spmd="--spmd" in sys.argv)
     ops = parse(logdir)
     total = 0.0
     rows = sorted(ops.items(), key=lambda kv: -kv[1][0])

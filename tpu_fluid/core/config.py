@@ -150,6 +150,12 @@ class FluidConfig:
     # particle from a precomputed neighborhood table (TPU-fast);
     # "gather" = 24 scalar gathers per particle (reference-shaped).
     particle_sampler: str = "packed"      # "packed" | "gather"
+    # z-halves-paired 128-lane packed rows (even gz >= 128 only): halves
+    # the table rows for full-tile writes, but the gathered rows buffer the
+    # sample kernel round-trips through HBM doubles (512 B/particle of
+    # which each particle uses 64 lanes).  A/B-able through
+    # TPU_FLUID_BENCH_SET=packed_pair_z=false (round-5 roofline probes).
+    packed_pair_z: bool = True
     # Pallas kernel dispatch: "auto" = Pallas on TPU, XLA elsewhere;
     # "on"/"off" force it; "interpret" runs the Pallas kernels through the
     # interpreter (any backend) — how CPU-mesh tests exercise the exact
@@ -182,10 +188,18 @@ class FluidConfig:
     #             surface area, not volume.  Needs slot slack for uneven
     #             particle distributions.
     particle_sharding: str = "index"      # "index" | "domain"
-    # Slots allocated per shard = particle_count/n * slack, rounded up; a
-    # shard holding more than its slots DROPS the overflow (deactivated,
-    # counted in diagnostics).
-    particle_slot_slack: float = 2.0
+    # Slots allocated per shard = census peak (or particle_count/n without
+    # a census) * slack, rounded up; a shard holding more than its slots
+    # DROPS the overflow (deactivated, counted in diagnostics).  Slack is
+    # a measured TIME tax, not just memory: every per-particle request op
+    # (occupancy scatter, row gather, sort) runs over ALL slots, so its
+    # cost scales with census_peak * slack — the 1-chip SPMD bench
+    # measures 24.4 steps/s at 2.0 vs 41.1 at 1.25 (NOTES round-5).  1.5
+    # on top of census-peak sizing still means >= 1.5x the largest slab's
+    # initial population before any counted drop; the flagship scene's
+    # per-slab peak only decays from init (the spawn cube is the densest
+    # configuration — fluid spreads).
+    particle_slot_slack: float = 1.5
     # Per-direction migration buffer = slots * frac; per-step one-hop
     # crossers beyond it are dropped (CFL keeps real counts ~surface/step).
     particle_migrate_frac: float = 0.25

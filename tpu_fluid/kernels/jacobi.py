@@ -388,7 +388,11 @@ def jacobi_sweeps_sharded(q: jnp.ndarray, rd: jnp.ndarray, c2: jnp.ndarray,
     def edges(a, h):
         """This shard's domain-edge halos: the neighbor shards' boundary
         planes over ICI; domain-end shards receive ppermute's zeros = the
-        single-device zero-pad convention."""
+        single-device zero-pad convention.  A 1-device mesh has no
+        neighbors: zeros directly (XLA:TPU's empty-pair collective-permute
+        measured ms-scale on silicon — round-5 NOTES)."""
+        if n == 1:
+            return jnp.zeros_like(a[lx - h:]), jnp.zeros_like(a[:h])
         from_left = jax.lax.ppermute(a[lx - h:], axis_name, up)
         from_right = jax.lax.ppermute(a[:h], axis_name, down)
         return from_left, from_right

@@ -36,12 +36,19 @@ def halo_planes(a: jnp.ndarray, h: int, axis_name: str = AXIS):
     stage (`shifted`'s zero fill)."""
     ax = a.ndim - 3
     n = jax.lax.axis_size(axis_name)
-    up = [(j, j + 1) for j in range(n - 1)]      # send +x
-    down = [(j + 1, j) for j in range(n - 1)]    # send -x
     idx_last = [slice(None)] * a.ndim
     idx_last[ax] = slice(a.shape[ax] - h, None)
     idx_first = [slice(None)] * a.ndim
     idx_first[ax] = slice(0, h)
+    if n == 1:
+        # no neighbors: both halos are the domain-end zeros.  Semantically
+        # identical to the empty-pair ppermute below — but XLA:TPU's
+        # degenerate collective-permute measured 2-59 ms EACH on silicon
+        # (round-5 NOTES, SPMD trace), so the 1-device mesh shortcuts it.
+        return (jnp.zeros_like(a[tuple(idx_last)]),
+                jnp.zeros_like(a[tuple(idx_first)]))
+    up = [(j, j + 1) for j in range(n - 1)]      # send +x
+    down = [(j + 1, j) for j in range(n - 1)]    # send -x
     from_left = jax.lax.ppermute(a[tuple(idx_last)], axis_name, up)
     from_right = jax.lax.ppermute(a[tuple(idx_first)], axis_name, down)
     return from_left, from_right

@@ -173,6 +173,14 @@ def migrate(positions: jnp.ndarray, active: jnp.ndarray, x0, lx: int,
     overflow, receive-slot exhaustion, and a crosser leaving past a domain
     end, which cannot occur with solid walls)."""
     n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        # a full-domain slab has no neighbor to exchange with; keeping the
+        # particles (even box-escapees) exactly matches the single-device
+        # step, which never deactivates them (stages/particles.py — the
+        # occupancy scatter just drops out-of-box indices).  Also dodges
+        # the degenerate empty-pair ppermutes, 59 + 35 ms EACH for the
+        # migration buffers on real silicon (round-5 NOTES, SPMD trace).
+        return positions, active, jnp.int32(0)
     cap = positions.shape[0]
     cx = jnp.floor(positions[:, 0]).astype(jnp.int32)
     go_l = active & (cx < x0)

@@ -109,7 +109,8 @@ def move_particles(vel: jnp.ndarray, positions: jnp.ndarray,
             # paired path gated to gz >= 128: Mosaic rejects the z-halves
             # lane concat on narrow halves ("result/input offset mismatch
             # on non-concat dimension" at gz=16)
-            if cfg.grid_size[2] % 2 == 0 and cfg.grid_size[2] >= 128:
+            if (cfg.packed_pair_z and cfg.grid_size[2] % 2 == 0
+                    and cfg.grid_size[2] >= 128):
                 table = build_packed_table_pallas2(vel, interpret=interpret)
                 idx = packed_row_indices2(positions, cfg.grid_size)
             else:
