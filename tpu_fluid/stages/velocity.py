@@ -160,6 +160,14 @@ def advect_pallas(types: jnp.ndarray, vel: jnp.ndarray,
         cond3 = jnp.stack([_advect_condition(types, c) for c in range(3)]
                           ).astype(jnp.uint8)
         return advect_all_pallas(vel, cond3, r, cfg.dt, interpret=interpret)
+    if not interpret and (gy + 2 * r) * gz > 289 * 288:
+        # giant y*z planes: even the minimum tx=r slab structurally
+        # overflows scoped VMEM — the per-component kernel's MAC tree
+        # keeps ~34 (tx+2r, gy+2r, gz) f32 temporaries live, measured
+        # 120.6 M vs the 100 M budget at 384^2 (round-5, the 384^3 scale
+        # probe).  The XLA shift path is semantics-pinned identical
+        # (tests/test_fast_paths.py) and VMEM-safe at any plane size.
+        return advect_shift(types, vel, cfg)
     # large y*z planes: the fused kernel's unrolled MAC tree spills VMEM;
     # run one component per kernel (1/3 of the live set) instead.
     # advect_one_pallas keeps the face-center velocity in-register and
