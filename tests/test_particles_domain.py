@@ -63,10 +63,18 @@ def test_domain_matches_single_device(mode):
     ref, sharded = _run_pair(cfg)
     for name in ("velocity", "cell_types", "inertia", "float_dens_1",
                  "float_dens_2", "detailed_occ"):
-        np.testing.assert_array_equal(
-            np.asarray(jax.device_get(getattr(ref, name))),
-            np.asarray(jax.device_get(getattr(sharded, name))),
-            err_msg=name)
+        a = np.asarray(jax.device_get(getattr(ref, name)))
+        b = np.asarray(jax.device_get(getattr(sharded, name)))
+        if name == "float_dens_2":
+            # the STALE blur ping-pong buffer is allowed 1 ULP: XLA:CPU
+            # contracts the blur's mul+add differently inside shard_map-
+            # compiled programs (same phenomenon + justification as
+            # test_spmd_step.assert_states_match; the FRESH buffer
+            # float_dens_1 — what the renderer consumes — stays bitwise)
+            np.testing.assert_allclose(a, b, rtol=0, atol=1.5e-7,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
     a = _sorted_active_positions(ref.positions, ref.active)
     b = _sorted_active_positions(sharded.positions, sharded.active)
     assert a.shape == b.shape            # no particles dropped

@@ -149,4 +149,12 @@ def test_spmd_volume_matches_single_device(mode):
     for name in ref._fields:
         a = np.asarray(jax.device_get(getattr(ref, name)))
         b = np.asarray(jax.device_get(getattr(sharded, name)))
-        np.testing.assert_array_equal(a, b, err_msg=name)
+        if name == "float_dens_2":
+            # stale blur ping-pong buffer: 1 ULP allowed — XLA:CPU
+            # contracts the blur's mul+add differently inside shard_map
+            # programs (test_spmd_step.assert_states_match has the full
+            # diagnosis; the fresh buffer float_dens_1 stays bitwise)
+            np.testing.assert_allclose(a, b, rtol=0, atol=1.5e-7,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
