@@ -93,6 +93,36 @@ def test_correction_holds_density_and_volume():
 import pytest
 
 
+def test_volume_correction_every_cadence():
+    """volume_correction_every=K applies the drift controller only on
+    steps where step % K == 0 (lax.cond), bitwise-matching per-step
+    composition of corrected/uncorrected steps."""
+    # target 4/cell with the 8/cell init cube: the controller has real
+    # work to do (at the default target the init density is exactly on
+    # target and the drift is identically zero, hiding the gate)
+    cfg2 = _cfg(volume_correction=1.0, volume_correction_every=2,
+                volume_target_density=4.0)
+    cfg1 = _cfg(volume_correction=1.0, volume_target_density=4.0)
+    cfg0 = _cfg(volume_correction=0.0, volume_target_density=4.0)
+    stepf = jax.jit(simulation_step, static_argnums=1)
+    s = initial_state(cfg2)
+
+    # step 0: 0 % 2 == 0 -> corrected, identical to every=1
+    a = stepf(s, cfg2)
+    b = stepf(s, cfg1)
+    np.testing.assert_array_equal(np.asarray(a.positions),
+                                  np.asarray(b.positions))
+    # step 1: 1 % 2 != 0 -> uncorrected, identical to volume_correction=0
+    a2 = stepf(a, cfg2)
+    b2 = stepf(a, cfg0)
+    np.testing.assert_array_equal(np.asarray(a2.positions),
+                                  np.asarray(b2.positions))
+    # and unequal to the corrected step (the cadence is actually gating)
+    c2 = stepf(a, cfg1)
+    assert not np.array_equal(np.asarray(a2.positions),
+                              np.asarray(c2.positions))
+
+
 def test_spmd_volume_adds_no_volume_collectives():
     """The distributed volume projection (VERDICT r2 weak #4) must not
     all_gather `types` or the drift field: the compiled SPMD step with the

@@ -101,6 +101,12 @@ class FluidConfig:
     # to +-volume_drift_max (velocity units).  0 = off = reference behavior
     # (whose fluid volume slowly expands, README.md:147-149).
     volume_correction: float = 0.0
+    # Apply the correction every K steps (lax.cond; 1 = every step).  The
+    # controller's histogram + density-Poisson measured 53.9 -> 27.1
+    # steps/s at 128^3/1M when run per-step (NOTES round-5); drift
+    # accumulates over thousands of steps, so K in the 2-8 range keeps it
+    # effective at ~1/K of the cost.
+    volume_correction_every: int = 1
     volume_drift_max: float = 2.0
     # Target particles-per-cell for the drift; None derives the initial
     # cube's density (particle_count / cube volume in cells).

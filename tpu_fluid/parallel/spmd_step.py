@@ -312,19 +312,32 @@ def _local_step(state: FluidState, cfg: FluidConfig,
         # collectives (drift is for sampling only; the state keeps the
         # divergence-free `vel`).
         from tpu_fluid.stages.volume import density_drift
-        if domain:
-            from tpu_fluid.parallel.particles_domain import \
-                cell_histogram_local
-            counts = cell_histogram_local(state.positions, state.active,
-                                          cfg.grid_size, x0, lx)
-        else:
-            from tpu_fluid.ops.scatter import particle_cell_histogram
-            counts_full = particle_cell_histogram(
-                state.positions, state.active, cfg.grid_size)
-            counts = jax.lax.psum_scatter(counts_full, AXIS,
-                                          scatter_dimension=0, tiled=True)
-        move_vel = vel + density_drift(counts, types, cfg,
+
+        def with_drift():
+            if domain:
+                from tpu_fluid.parallel.particles_domain import \
+                    cell_histogram_local
+                counts = cell_histogram_local(state.positions, state.active,
+                                              cfg.grid_size, x0, lx)
+            else:
+                from tpu_fluid.ops.scatter import particle_cell_histogram
+                counts_full = particle_cell_histogram(
+                    state.positions, state.active, cfg.grid_size)
+                counts = jax.lax.psum_scatter(counts_full, AXIS,
+                                              scatter_dimension=0,
+                                              tiled=True)
+            return vel + density_drift(counts, types, cfg,
                                        axis_name=AXIS, x0=x0)
+
+        every = max(1, cfg.volume_correction_every)
+        if every == 1:
+            move_vel = with_drift()
+        else:
+            # K-step cadence (see solver/step.py): state.step is replicated,
+            # so every shard takes the same branch and the in-branch
+            # collectives (psum_scatter / drift halos) stay collective-safe
+            move_vel = jax.lax.cond(state.step % every == 0, with_drift,
+                                    lambda: vel)
 
     if domain:
         from tpu_fluid.parallel.particles_domain import (

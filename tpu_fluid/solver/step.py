@@ -92,8 +92,21 @@ def simulation_step(state: FluidState, cfg: FluidConfig,
     move_vel = vel
     if cfg.volume_correction > 0.0:
         from tpu_fluid.stages.volume import corrected_move_velocity
-        move_vel = corrected_move_velocity(vel, state.positions,
-                                           state.active, types, cfg)
+        every = max(1, cfg.volume_correction_every)
+        if every == 1:
+            move_vel = corrected_move_velocity(vel, state.positions,
+                                               state.active, types, cfg)
+        else:
+            # amortize the correction's histogram + Poisson cost (measured
+            # 53.9 -> 27.1 steps/s at 128^3/1M when applied every step —
+            # NOTES round-5): drift accumulates over thousands of steps,
+            # so a K-step cadence keeps the controller effective at ~1/K
+            # of the cost.  lax.cond executes ONE branch at runtime.
+            move_vel = jax.lax.cond(
+                state.step % every == 0,
+                lambda: corrected_move_velocity(
+                    vel, state.positions, state.active, types, cfg),
+                lambda: vel)
     pos = particles.move_particles(move_vel, state.positions, state.active,
                                    cfg)
 
