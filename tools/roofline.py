@@ -416,6 +416,76 @@ def probe_scatter256(dtype):
     return timed_scan(step, jnp.zeros((1,), jnp.float32), iters=5)
 
 
+def probe_migrate_shard():
+    """migrate()'s per-shard arithmetic at the v5e-8 flagship shapes
+    (census peak ~250k x slack 1.5 = ~375k slots, m = slots/4): the two
+    pack() compactions (nonzero + take) and the cumsum-ranked placement
+    scatter, on silicon — the last unknown in the NOTES v5e-8 projection
+    (the ppermute itself is a ~1 MB ICI neighbor send, negligible)."""
+    cap = 375_040
+    m = 93_952
+    pos = jnp.zeros((cap, 3), jnp.float32) + jnp.linspace(0., 16., cap)[:, None]
+    active = (jnp.arange(cap) % 4) != 3
+
+    def step(p):
+        cx = jnp.floor(p[:, 0]).astype(jnp.int32)
+        go_l = active & (cx < 2)
+        go_r = active & (cx >= 14)
+        keep = active & ~go_l & ~go_r
+
+        def pack(mask):
+            ids, = jnp.nonzero(mask, size=m, fill_value=cap)
+            valid = (jnp.arange(m) < jnp.sum(mask)).astype(jnp.int32)
+            rows = jnp.take(p, ids, axis=0, mode="fill", fill_value=0.0)
+            return rows, valid
+
+        snd_l, val_l = pack(go_l)
+        snd_r, val_r = pack(go_r)
+        in_pos = jnp.concatenate([snd_l, snd_r])
+        in_val = jnp.concatenate([val_l, val_r])
+        holes, = jnp.nonzero(~keep, size=2 * m, fill_value=cap)
+        n_holes = jnp.sum(~keep)
+        rank = jnp.cumsum(in_val) - 1
+        ok = (in_val > 0) & (rank < n_holes) & (rank < 2 * m)
+        tgt = jnp.where(ok, jnp.take(holes, jnp.clip(rank, 0, 2 * m - 1)),
+                        cap)
+        out = p.at[tgt].set(in_pos, mode="drop")
+        return out + 1e-6  # perturb so scan iterations differ
+    return timed_scan(step, pos, iters=10)
+
+
+def _migrate_piece(which):
+    cap, m = 375_040, 93_952
+    pos = jnp.zeros((cap, 3), jnp.float32) + jnp.linspace(
+        0., 16., cap)[:, None]
+    active = (jnp.arange(cap) % 4) != 3
+    ids0 = jnp.arange(m, dtype=jnp.int32) * 3 % cap
+    tgt0 = (jnp.arange(2 * m, dtype=jnp.int32) * 7) % cap
+    rows2 = jnp.zeros((2 * m, 3), jnp.float32) + 0.5
+
+    if which == "nonzero":
+        def step(p):
+            mask = active & (jnp.floor(p[:, 0]).astype(jnp.int32) < 2)
+            ids, = jnp.nonzero(mask, size=m, fill_value=cap)
+            return p + ids[0].astype(jnp.float32) * 1e-30
+    elif which == "take":
+        def step(p):
+            rows = jnp.take(p, ids0, axis=0, mode="fill", fill_value=0.0)
+            return p + rows[0, 0] * 1e-30
+    elif which == "scatter":
+        def step(p):
+            return p.at[tgt0].set(rows2, mode="drop") + 1e-7
+    elif which == "scatter_cols":
+        # same placement as 3 scalar-column scatters (the 1M occupancy
+        # scatter prices scalar requests at ~5.9 ns vs the row form's
+        # ~13 ns/element)
+        def step(p):
+            cols = [p[:, c].at[tgt0].set(rows2[:, c], mode="drop")
+                    for c in range(3)]
+            return jnp.stack(cols, axis=1) + 1e-7
+    return timed_scan(step, pos, iters=10)
+
+
 def probe_mask():
     """solid_parent_mask + u8 cast (rebuilt every step; part of 'misc')."""
     from tpu_fluid.stages.surface_fields import solid_parent_mask
@@ -443,6 +513,11 @@ PROBES = {
     "mask": probe_mask,
     "scat256_i32": lambda: probe_scatter256(jnp.int32),
     "scat256_u8": lambda: probe_scatter256(jnp.uint8),
+    "migrate_shard": probe_migrate_shard,
+    "mig_nonzero": lambda: _migrate_piece("nonzero"),
+    "mig_take": lambda: _migrate_piece("take"),
+    "mig_scatter": lambda: _migrate_piece("scatter"),
+    "mig_scatter_cols": lambda: _migrate_piece("scatter_cols"),
 }
 
 
