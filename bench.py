@@ -85,8 +85,15 @@ def _run_once(n: int, particles: int, steps: int, sync_every: int):
     use_spmd = ndev > 1 or os.environ.get("TPU_FLUID_BENCH_SPMD") == "1"
     if use_spmd:
         # multi-chip default BEFORE the overrides, so a TPU_FLUID_BENCH_SET
-        # particle_sharding probe is honored rather than silently clobbered
-        cfg = cfg.replace(particle_sharding="domain")
+        # particle_sharding probe is honored rather than silently clobbered.
+        # Per-scale choice (round-5 silicon A/B, NOTES "migrate's per-shard
+        # machinery"): at 128^3 the index path's whole-velocity all_gather
+        # is only 25 MB/shard/step (~0.6 ms over ICI) while the domain
+        # path's slot padding + migrate machinery measured 25.7 vs 49.56
+        # steps/s on the 1-chip SPMD form; domain's volume-collective
+        # advantage pays at >= 256^3 where the all_gather is 200 MB.
+        sharding = "domain" if n >= 256 else "index"
+        cfg = cfg.replace(particle_sharding=sharding)
     # TPU_FLUID_BENCH_SET="k=v,k=v": probe config variants through the same
     # timed harness.  Overrides are echoed on stderr so a probed number can
     # never masquerade as the headline.
