@@ -454,6 +454,51 @@ def probe_migrate_shard():
     return timed_scan(step, pos, iters=10)
 
 
+def probe_migrate_shard2():
+    """The ROUND-5 REWRITTEN migrate arithmetic at the same shapes: one
+    stable category sort + two dynamic-slice packs + column scatters
+    (mirrors parallel/particles_domain.migrate post-rewrite, minus the
+    ppermute)."""
+    cap, m = 375_040, 93_952
+    pos = jnp.zeros((cap, 3), jnp.float32) + jnp.linspace(
+        0., 16., cap)[:, None]
+    active = (jnp.arange(cap) % 4) != 3
+
+    def step(p):
+        cx = jnp.floor(p[:, 0]).astype(jnp.int32)
+        go_l = active & (cx < 2)
+        go_r = active & (cx >= 14)
+        keep = active & ~go_l & ~go_r
+        cat = jnp.where(go_l, 0, jnp.where(go_r, 1, jnp.where(keep, 3, 2)))
+        order = jnp.argsort(cat, stable=True).astype(jnp.int32)
+        n_l = jnp.sum(go_l)
+        n_r = jnp.sum(go_r)
+        order_ext = jnp.concatenate(
+            [order, jnp.full((m,), cap - 1, jnp.int32)])
+
+        def pack(start, count):
+            ids = jax.lax.dynamic_slice_in_dim(order_ext, start, m)
+            valid = (jnp.arange(m) < count).astype(jnp.int32)
+            rows = jnp.take(p, ids, axis=0, mode="clip")
+            return rows, valid
+
+        snd_l, val_l = pack(jnp.int32(0), n_l)
+        snd_r, val_r = pack(n_l, n_r)
+        in_pos = jnp.concatenate([snd_l, snd_r])
+        in_val = jnp.concatenate([val_l, val_r])
+        holes = order[:2 * m]
+        n_holes = jnp.sum(~keep)
+        rank = jnp.cumsum(in_val) - 1
+        ok = (in_val > 0) & (rank < n_holes) & (rank < 2 * m)
+        tgt = jnp.where(ok, jnp.take(holes, jnp.clip(rank, 0, 2 * m - 1)),
+                        cap)
+        out = jnp.stack(
+            [p[:, c].at[tgt].set(in_pos[:, c], mode="drop")
+             for c in range(3)], axis=1)
+        return out + 1e-6
+    return timed_scan(step, pos, iters=10)
+
+
 def _migrate_piece(which):
     cap, m = 375_040, 93_952
     pos = jnp.zeros((cap, 3), jnp.float32) + jnp.linspace(
@@ -514,6 +559,7 @@ PROBES = {
     "scat256_i32": lambda: probe_scatter256(jnp.int32),
     "scat256_u8": lambda: probe_scatter256(jnp.uint8),
     "migrate_shard": probe_migrate_shard,
+    "migrate_shard2": probe_migrate_shard2,
     "mig_nonzero": lambda: _migrate_piece("nonzero"),
     "mig_take": lambda: _migrate_piece("take"),
     "mig_scatter": lambda: _migrate_piece("scatter"),
